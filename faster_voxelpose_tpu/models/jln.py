@@ -1,0 +1,137 @@
+"""Joint Localization Network: per-proposal fine volumes -> orthographic
+plane heatmaps -> soft-argmax -> learned per-joint plane fusion.
+
+Capability parity with lib/models/joint_localization_net.py, rebuilt
+fixed-shape: the reference's per-batch-item and per-person Python loops
+(joint_localization_net.py:72, project_individual.py:124) become vmaps
+over all B*K proposal slots; invalid slots are computed anyway and masked
+(their outputs are multiplied to zero), which is the XLA-native form of
+the reference's `continue` control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.soft_argmax import soft_argmax
+from .cnns import P2PNet, WeightNet
+from .projection import (
+    ProjectionGeometry,
+    compute_crop_origin,
+    project_individual_people,
+)
+
+
+class JLNOutputs(NamedTuple):
+    fused_poses: jnp.ndarray  # (B, K, J, 3) world mm
+    plane_poses: jnp.ndarray  # (3, B, K, J, 2) per-plane 2D estimates
+    confidences: jnp.ndarray  # (B, K) soft-argmax confidences
+
+
+def fuse_plane_poses(plane_poses: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted fusion of the three plane estimates into xyz.
+
+    Each world axis appears in exactly two planes; its two weights are
+    normalized and the estimates blended
+    (reference fuse_pose_preds, joint_localization_net.py:44-62).
+
+    Args:
+      plane_poses: (3, N, J, 2) [xy, xz, yz] plane coordinates.
+      weights: (3, N, J, 1) per-plane per-joint weights in (0,1).
+    Returns: (N, J, 3).
+    """
+    xy_w, xz_w, yz_w = weights[0], weights[1], weights[2]
+    xy, xz, yz = plane_poses[0], plane_poses[1], plane_poses[2]
+
+    def blend(wa, wb, a, b):
+        tot = wa + wb
+        return (wa * a + wb * b) / tot
+
+    x = blend(xy_w[..., 0], xz_w[..., 0], xy[..., 0], xz[..., 0])
+    y = blend(xy_w[..., 0], yz_w[..., 0], xy[..., 1], yz[..., 0])
+    z = blend(xz_w[..., 0], yz_w[..., 0], xz[..., 1], yz[..., 1])
+    return jnp.stack([x, y, z], axis=-1)
+
+
+class JointLocalizationNet(nn.Module):
+    """Config-static JLN (reference JointLocalizationNet,
+    joint_localization_net.py:36-100)."""
+
+    geom: ProjectionGeometry
+    max_people: int
+    beta: float
+    num_joints: int
+    weight_feat_channels: int = 32
+    weight_hidden_channels: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        heatmaps: jnp.ndarray,  # (B, V, H, W, J)
+        cams: jnp.ndarray,  # (B, V, 21)
+        proposal_centers: jnp.ndarray,  # (B, K, 7) — treated as constant
+        train: bool = False,
+    ) -> JLNOutputs:
+        geom = self.geom
+        B, V = heatmaps.shape[0], heatmaps.shape[1]
+        K = self.max_people
+        J = self.num_joints
+        vx, vy, vz = geom.ind_voxels_per_axis
+
+        proposal_centers = jax.lax.stop_gradient(proposal_centers)
+        mask = proposal_centers[:, :, 3] >= 0  # (B, K)
+
+        centers_tl, offsets = compute_crop_origin(geom, proposal_centers[..., :3])
+        bbox_sizes = proposal_centers[..., 5:7]
+
+        # per-sample, per-person fine cubes: (B, K, X, Y, Z, J)
+        cubes = jax.vmap(
+            lambda hm, cam, tl, bb: project_individual_people(geom, hm, cam, tl, bb)
+        )(heatmaps, cams, centers_tl, bbox_sizes)
+
+        # orthographic max-projections; plane order [xy, xz, yz]
+        # (reference joint_localization_net.py:80-81)
+        n = B * K
+        cubes = cubes.reshape(n, vx, vy, vz, J)
+        plane_xy = jnp.max(cubes, axis=3)  # (n, X, Y, J)
+        plane_xz = jnp.max(cubes, axis=2)  # (n, X, Z, J)
+        plane_yz = jnp.max(cubes, axis=1)  # (n, Y, Z, J)
+        planes = jnp.concatenate([plane_xy, plane_xz, plane_yz], axis=0)  # (3n,...)
+
+        # shared plane-to-pose U-Net over all three planes at once
+        feats = P2PNet(J, dtype=self.dtype, name="p2p_net")(planes, train)  # (3n,X,Y,J)
+
+        # soft-argmax against each plane's world-coordinate grid
+        feats_flat = feats.reshape(3, n, vx * vy, J).transpose(0, 1, 3, 2)
+        plane_poses, confs = soft_argmax(
+            feats_flat, jnp.asarray(geom.center_grids), self.beta
+        )  # (3, n, J, 2), (n,)
+
+        # add each crop's millimeter offset (reference :87-90)
+        off = offsets.reshape(n, 1, 3)
+        plane_poses = plane_poses.at[0].add(off[..., (0, 1)])
+        plane_poses = plane_poses.at[1].add(off[..., (0, 2)])
+        plane_poses = plane_poses.at[2].add(off[..., (1, 2)])
+
+        # learned per-joint plane weights + fusion
+        weights = WeightNet(
+            self.weight_feat_channels,
+            self.weight_hidden_channels,
+            dtype=self.dtype,
+            name="weight_net",
+        )(feats, train).reshape(3, n, J, 1)
+        fused = fuse_plane_poses(plane_poses, weights)  # (n, J, 3)
+
+        # zero out invalid proposal slots (reference writes only into
+        # masked rows of a zero tensor, joint_localization_net.py:96-98)
+        m = mask.reshape(n, 1, 1).astype(fused.dtype)
+        fused = (fused * m).reshape(B, K, J, 3)
+        plane_poses = (plane_poses * m[None]).reshape(3, B, K, J, 2)
+        confs = (confs * mask.reshape(n)).reshape(B, K)
+
+        return JLNOutputs(fused, plane_poses, confs)

@@ -1,0 +1,62 @@
+"""Experiment logging: output dirs, timestamped log files, scalar metrics.
+
+Capability parity with lib/utils/utils.py:19-50 (create_logger) and the
+TensorBoard scalar stream (function.py:102-109), torch-free: scalars go to
+a JSONL file consumable by any dashboard, plus stdout logging.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Dict, Tuple
+
+
+def create_logger(cfg, cfg_name: str, phase: str = "train") -> Tuple[logging.Logger, str, str]:
+    """Create output/log dirs and a timestamped file logger.
+
+    Layout matches the reference: output/<test_dataset>/<cfg_name>/ and
+    log/<test_dataset>/<cfg_name>_<timestamp>/.
+    """
+    dataset = cfg.DATASET.TEST_DATASET
+    cfg_stem = Path(cfg_name).stem
+    output_dir = Path(cfg.OUTPUT_DIR) / dataset / cfg_stem
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    t = time.strftime("%Y-%m-%d-%H-%M")
+    log_file = output_dir / f"{cfg_stem}_{t}_{phase}.log"
+    head = "%(asctime)-15s %(message)s"
+    logging.basicConfig(filename=str(log_file), format=head, level=logging.INFO)
+    logger = logging.getLogger()
+    logger.setLevel(logging.INFO)
+    console = logging.StreamHandler()
+    console.setFormatter(logging.Formatter(head))
+    if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers[1:]):
+        logger.addHandler(console)
+
+    scalar_dir = Path(cfg.LOG_DIR) / dataset / f"{cfg_stem}_{t}"
+    scalar_dir.mkdir(parents=True, exist_ok=True)
+    return logger, str(output_dir), str(scalar_dir)
+
+
+class ScalarWriter:
+    """Append-only JSONL scalar stream ({tag, value, step, wall})."""
+
+    def __init__(self, log_dir: str, filename: str = "scalars.jsonl"):
+        self.path = os.path.join(log_dir, filename)
+        self._fh = open(self.path, "a")
+
+    def add_scalar(self, tag: str, value, step: int):
+        self._fh.write(
+            json.dumps(
+                {"tag": tag, "value": float(value), "step": int(step), "wall": time.time()}
+            )
+            + "\n"
+        )
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()

@@ -1,0 +1,141 @@
+"""Training CLI: python run/train.py --cfg configs/shelf/jln64.yaml
+
+Capability parity with the reference's run/train.py: config-driven
+dataset/model construction, frozen pretrained backbone, dual optimizers,
+per-epoch validation with best-model tracking, resumable checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train Faster-VoxelPose (TPU)")
+    p.add_argument("--cfg", required=True, help="experiment yaml")
+    p.add_argument("--epochs", type=int, default=None, help="override END_EPOCH")
+    p.add_argument("--num-data", type=int, default=None, help="override SYNTHETIC.NUM_DATA")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from faster_voxelpose_tpu.config import load_config
+    from faster_voxelpose_tpu.datasets import get_dataset
+    from faster_voxelpose_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from faster_voxelpose_tpu.engine.loader import DataLoader, prefetch_to_device
+    from faster_voxelpose_tpu.engine.trainer import (
+        AverageMeter,
+        create_train_state,
+        make_train_step,
+    )
+    from faster_voxelpose_tpu.engine.validator import run_validation
+    from faster_voxelpose_tpu.models.faster_voxelpose import build_model
+    from faster_voxelpose_tpu.models.resnet import build_backbone
+    from faster_voxelpose_tpu.utils.logging_utils import ScalarWriter, create_logger
+
+    cfg = load_config(args.cfg)
+    if args.epochs is not None:
+        cfg.TRAIN.END_EPOCH = args.epochs
+    if args.num_data is not None:
+        cfg.SYNTHETIC.NUM_DATA = args.num_data
+
+    logger, output_dir, log_dir = create_logger(cfg, args.cfg, "train")
+    writer = ScalarWriter(log_dir)
+    logger.info("devices: %s", jax.devices())
+
+    train_ds = get_dataset(cfg.DATASET.TRAIN_DATASET)(cfg, is_train=True)
+    test_ds = get_dataset(cfg.DATASET.TEST_DATASET)(cfg, is_train=False)
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
+
+    # init with a dummy batch shape
+    B, V = 1, cfg.DATASET.CAMERA_NUM
+    W, H = cfg.DATASET.HEATMAP_SIZE
+    J = cfg.DATASET.NUM_JOINTS
+    dummy_hm = np.zeros((B, V, H, W, J), np.float32)
+    dummy_cam = np.zeros((B, V, 21), np.float32)
+    variables = model.init(rng, dummy_hm, dummy_cam, train=False)
+
+    backbone = backbone_vars = None
+    if cfg.DATASET.TRAIN_HEATMAP_SRC == "image" or cfg.DATASET.TEST_HEATMAP_SRC == "image":
+        backbone = build_backbone(cfg)
+        iw, ih = cfg.DATASET.IMAGE_SIZE
+        backbone_vars = backbone.init(rng, np.zeros((1, ih, iw, 3), np.float32))
+        if cfg.NETWORK.PRETRAINED_BACKBONE:
+            from faster_voxelpose_tpu.utils.weights_torch import (
+                convert_backbone,
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(cfg.NETWORK.PRETRAINED_BACKBONE)
+            backbone_vars = convert_backbone(sd, cfg.RESNET.NUM_LAYERS)
+            logger.info("=> loaded pretrained backbone %s", cfg.NETWORK.PRETRAINED_BACKBONE)
+
+    state = create_train_state(cfg, variables)
+    start_epoch, best_metric = 0, -np.inf
+    if cfg.TRAIN.RESUME:
+        state, start_epoch, best_metric = load_checkpoint(output_dir, state)
+
+    train_step = jax.jit(make_train_step(cfg, model, backbone), donate_argnums=(0,))
+
+    loader = DataLoader(
+        train_ds,
+        cfg.TRAIN.BATCH_SIZE,
+        shuffle=cfg.TRAIN.SHUFFLE,
+        drop_last=True,
+        seed=cfg.TRAIN.SEED,
+    )
+
+    meters = {k: AverageMeter() for k in ("total", "2d", "1d", "bbox", "joint", "time")}
+    global_step = 0
+    for epoch in range(start_epoch, cfg.TRAIN.END_EPOCH):
+        logger.info("epoch %d", epoch)
+        end = time.time()
+        for i, batch in enumerate(prefetch_to_device(iter(loader))):
+            batch.pop("_valid", None)
+            batch.pop("offset", None)
+            state, losses = train_step(state, batch, backbone_vars)
+            if i % cfg.PRINT_FREQ == 0:
+                losses = {k: float(v) for k, v in losses.items()}
+                meters["time"].update(time.time() - end)
+                for k, mk in (("total", "total"), ("2d_heatmaps", "2d"),
+                              ("1d_heatmaps", "1d"), ("bbox", "bbox"), ("joint", "joint")):
+                    meters[mk].update(losses[k])
+                    writer.add_scalar(f"train_loss_{mk}", losses[k], global_step)
+                speed = cfg.TRAIN.BATCH_SIZE * cfg.PRINT_FREQ / max(
+                    time.time() - end, 1e-9
+                )
+                logger.info(
+                    "Epoch [%d][%d/%d] Speed %.1f samples/s Loss %.6f "
+                    "(2d %.6f 1d %.6f bbox %.6f joint %.6f)",
+                    epoch, i, len(loader), speed, losses["total"],
+                    losses["2d_heatmaps"], losses["1d_heatmaps"],
+                    losses["bbox"], losses["joint"],
+                )
+                global_step += 1
+            end = time.time()
+
+        eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        metric, msg, _ = run_validation(cfg, model, eval_vars, test_ds)
+        writer.add_scalar("eval_metric", metric, epoch)
+        is_best = metric > best_metric
+        best_metric = max(metric, best_metric)
+        save_checkpoint(output_dir, state, epoch + 1, best_metric, is_best, eval_vars)
+
+    logger.info("done; best metric %.4f", best_metric)
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Evaluation CLI: python run/validate.py --cfg configs/shelf/jln64.yaml
+
+Capability parity with the reference's run/validate.py: loads the config's
+best-model checkpoint (or a torch checkpoint via --torch-weights, enabling
+direct evaluation of the reference's released models), runs batched
+inference over the test dataset and prints the dataset's metric table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate Faster-VoxelPose (TPU)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument(
+        "--torch-weights",
+        default=None,
+        help="evaluate a reference PyTorch checkpoint (model_best.pth.tar)",
+    )
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from faster_voxelpose_tpu.config import load_config
+    from faster_voxelpose_tpu.datasets import get_dataset
+    from faster_voxelpose_tpu.engine.checkpoint import load_best_model
+    from faster_voxelpose_tpu.engine.validator import run_validation
+    from faster_voxelpose_tpu.models.faster_voxelpose import build_model
+    from faster_voxelpose_tpu.models.resnet import build_backbone
+    from faster_voxelpose_tpu.utils.logging_utils import create_logger
+
+    cfg = load_config(args.cfg)
+    logger, output_dir, _ = create_logger(cfg, args.cfg, "validate")
+    logger.info("devices: %s", jax.devices())
+
+    test_ds = get_dataset(cfg.DATASET.TEST_DATASET)(cfg, is_train=False)
+
+    model = build_model(cfg)
+    B, V = 1, cfg.DATASET.CAMERA_NUM
+    W, H = cfg.DATASET.HEATMAP_SIZE
+    J = cfg.DATASET.NUM_JOINTS
+    template = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((B, V, H, W, J), np.float32),
+        np.zeros((B, V, 21), np.float32),
+        train=False,
+    )
+
+    if args.torch_weights:
+        from faster_voxelpose_tpu.utils.weights_torch import (
+            convert_model,
+            load_torch_state_dict,
+        )
+
+        variables = convert_model(load_torch_state_dict(args.torch_weights))
+        logger.info("=> converted torch weights from %s", args.torch_weights)
+    else:
+        variables = load_best_model(output_dir, template)
+        logger.info("=> loaded best model from %s", output_dir)
+
+    backbone = backbone_vars = None
+    image_loader = None
+    if cfg.DATASET.TEST_HEATMAP_SRC == "image":
+        from faster_voxelpose_tpu.datasets.images import load_view_images
+        from faster_voxelpose_tpu.utils.weights_torch import (
+            convert_backbone,
+            load_torch_state_dict,
+        )
+
+        backbone = build_backbone(cfg)
+        sd = load_torch_state_dict(cfg.NETWORK.PRETRAINED_BACKBONE)
+        backbone_vars = convert_backbone(sd, cfg.RESNET.NUM_LAYERS)
+
+        def image_loader(idxs):
+            return np.stack(
+                [
+                    load_view_images(
+                        test_ds.records[i].image_paths,
+                        cfg.DATASET.IMAGE_SIZE,
+                        test_ds.resize_transform,
+                        cfg.DATASET.COLOR_RGB,
+                    )
+                    for i in idxs
+                ]
+            )
+
+    metric, msg, _ = run_validation(
+        cfg, model, variables, test_ds,
+        backbone=backbone, backbone_vars=backbone_vars, image_loader=image_loader,
+    )
+    print(msg)
+    print(f"metric: {metric:.4f}")
+
+
+if __name__ == "__main__":
+    main()
