@@ -2,9 +2,16 @@
 
 Measures the headline metric from BASELINE.md: 5-view Panoptic-profile
 frames/sec on one chip for the FULL pipeline — ResNet-50 backbone over
-five 512x960 views, whole-space back-projection, HDN, per-person JLN —
-as one jit graph.  Baseline: the paper's ~31 FPS single-GPU real-time
-claim (BASELINE.md: "Throughput").
+five 512x960 views, whole-space back-projection, HDN, per-person JLN.
+
+Methodology: the TPU here sits behind a remote-execution tunnel with
+hundreds of ms of per-dispatch overhead, value-caching of identical
+dispatches, and opaque scheduling — per-dispatch timing loops measure the
+tunnel, not the chip.  So the frame loop runs *inside one dispatch* as a
+lax.scan over F distinct staged frames (strict sequential dependence, all
+on one chip), the result is fetched (a real fetch cannot lie), and the
+per-frame time is the slope between two scan lengths, which cancels
+dispatch/fetch/constant overheads.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,55 +32,66 @@ BASELINE_FPS = 31.0  # paper-class single-GPU "real-time" throughput
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from faster_voxelpose_tpu.config import load_config
     from faster_voxelpose_tpu.models.faster_voxelpose import build_model
     from faster_voxelpose_tpu.models.resnet import build_backbone
     from __graft_entry__ import _example_cameras
 
-    cfg = load_config(os.path.join(os.path.dirname(__file__), "configs/panoptic/jln64.yaml"))
-
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "configs/panoptic/jln64.yaml")
+    )
     model = build_model(cfg)
     backbone = build_backbone(cfg)
 
-    B, V = 1, cfg.DATASET.CAMERA_NUM
+    V = cfg.DATASET.CAMERA_NUM
     iw, ih = cfg.DATASET.IMAGE_SIZE
     J = cfg.DATASET.NUM_JOINTS
+    W, H = cfg.DATASET.HEATMAP_SIZE
 
     rng = np.random.RandomState(0)
-    images = rng.randn(B, V, ih, iw, 3).astype(np.float32)
-    cams = _example_cameras(B, V)
-    # plausible in-space camera rig for the panoptic capture volume
+    cams = _example_cameras(1, V)
     rngk = jax.random.PRNGKey(0)
     backbone_vars = backbone.init(rngk, np.zeros((1, ih, iw, 3), np.float32))
-
-    W, H = cfg.DATASET.HEATMAP_SIZE
     variables = model.init(
-        rngk, np.zeros((B, V, H, W, J), np.float32), cams, train=False
+        rngk, np.zeros((1, V, H, W, J), np.float32), cams, train=False
     )
 
-    @jax.jit
-    def pipeline(variables, backbone_vars, images, cams):
-        flat = images.reshape((B * V, ih, iw, 3))
-        hm = backbone.apply(backbone_vars, flat, train=False, mutable=False)
-        heatmaps = hm.reshape((B, V) + hm.shape[1:])
-        out = model.apply(variables, heatmaps, cams, train=False, mutable=False)
-        return out.fused_poses
+    def frame_fn(carry, images_v):
+        # one streamed frame: (V, ih, iw, 3) -> (K, J, 5)
+        hm = backbone.apply(
+            backbone_vars, images_v + carry, train=False, mutable=False
+        )
+        out = model.apply(
+            variables, hm[None], jnp.asarray(cams), train=False, mutable=False
+        )
+        fused = out.fused_poses[0]
+        return fused[0, 0, 0] * 1e-30, fused
 
-    images_d = jax.device_put(images)
-    cams_d = jax.device_put(cams)
+    def make_runner(F):
+        frames = rng.randn(F, V, ih, iw, 3).astype(np.float32)
 
-    # warmup / compile
-    jax.block_until_ready(pipeline(variables, backbone_vars, images_d, cams_d))
+        @jax.jit
+        def run(frames):
+            _, outs = jax.lax.scan(frame_fn, jnp.float32(0.0), frames)
+            return outs
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(variables, backbone_vars, images_d, cams_d)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        frames_d = jax.device_put(frames)
+        np.asarray(run(frames_d))  # compile + warm
+        def timed():
+            t0 = time.perf_counter()
+            np.asarray(run(frames_d))  # real value fetch
+            return time.perf_counter() - t0
 
-    fps = iters * B / dt
+        return min(timed() for _ in range(3))
+
+    F1, F2 = 2, 12
+    t1 = make_runner(F1)
+    t2 = make_runner(F2)
+    per_frame = (t2 - t1) / (F2 - F1)
+    fps = 1.0 / per_frame
+
     print(
         json.dumps(
             {

@@ -22,7 +22,7 @@ from .cnns import P2PNet, WeightNet
 from .projection import (
     ProjectionGeometry,
     compute_crop_origin,
-    project_individual_people,
+    project_individual_planes,
 )
 
 
@@ -89,18 +89,17 @@ class JointLocalizationNet(nn.Module):
         centers_tl, offsets = compute_crop_origin(geom, proposal_centers[..., :3])
         bbox_sizes = proposal_centers[..., 5:7]
 
-        # per-sample, per-person fine cubes: (B, K, X, Y, Z, J)
-        cubes = jax.vmap(
-            lambda hm, cam, tl, bb: project_individual_people(geom, hm, cam, tl, bb)
-        )(heatmaps, cams, centers_tl, bbox_sizes)
-
-        # orthographic max-projections; plane order [xy, xz, yz]
-        # (reference joint_localization_net.py:80-81)
+        # per-sample, per-person fine crops fused with the orthographic
+        # max-projections; plane order [xy, xz, yz]
+        # (reference joint_localization_net.py:80-81).  The 64^3 cubes are
+        # never materialized across people (see project_individual_planes).
         n = B * K
-        cubes = cubes.reshape(n, vx, vy, vz, J)
-        plane_xy = jnp.max(cubes, axis=3)  # (n, X, Y, J)
-        plane_xz = jnp.max(cubes, axis=2)  # (n, X, Z, J)
-        plane_yz = jnp.max(cubes, axis=1)  # (n, Y, Z, J)
+        plane_xy, plane_xz, plane_yz = jax.vmap(
+            lambda hm, cam, tl, bb: project_individual_planes(geom, hm, cam, tl, bb)
+        )(heatmaps, cams, centers_tl, bbox_sizes)
+        plane_xy = plane_xy.reshape(n, vx, vy, J)
+        plane_xz = plane_xz.reshape(n, vx, vz, J)
+        plane_yz = plane_yz.reshape(n, vy, vz, J)
         planes = jnp.concatenate([plane_xy, plane_xz, plane_yz], axis=0)  # (3n,...)
 
         # shared plane-to-pose U-Net over all three planes at once

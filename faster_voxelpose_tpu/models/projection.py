@@ -250,3 +250,33 @@ def project_individual_people(
     return jax.vmap(lambda tl, bb: project_individual(geom, heatmaps, cams, tl, bb))(
         centers_tl, bbox_sizes
     )
+
+
+def project_individual_planes(
+    geom: ProjectionGeometry,
+    heatmaps: jnp.ndarray,  # (V, H, W, J)
+    cams: jnp.ndarray,  # (V, 21)
+    centers_tl: jnp.ndarray,  # (K, 3)
+    bbox_sizes: jnp.ndarray,  # (K, 2)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-person orthographic plane projections, memory-bounded.
+
+    Fuses the crop-sample with the xy/xz/yz max-projections
+    (joint_localization_net.py:80-81) inside a sequential lax.map over
+    people, so one person's 64^3 cube and its multi-view gather
+    intermediates are live at a time (vmapping all K people at once peaks
+    at >10GB of gather temporaries on the full Panoptic config — past a
+    v5e's 16GB HBM once the backbone activations join).
+    Returns (plane_xy (K,X,Y,J), plane_xz (K,X,Z,J), plane_yz (K,Y,Z,J)).
+    """
+
+    def body(args):
+        tl, bb = args
+        cube = project_individual(geom, heatmaps, cams, tl, bb)
+        return (
+            jnp.max(cube, axis=2),
+            jnp.max(cube, axis=1),
+            jnp.max(cube, axis=0),
+        )
+
+    return jax.lax.map(body, (centers_tl, bbox_sizes))
