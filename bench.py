@@ -42,6 +42,9 @@ def main():
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "configs/panoptic/jln64.yaml")
     )
+    # worst-case load: force every proposal slot valid so the JLN processes
+    # all MAX_PEOPLE people (real scenes skip undetected slots via lax.cond)
+    cfg.CAPTURE_SPEC.MIN_SCORE = -1.0
     model = build_model(cfg)
     backbone = build_backbone(cfg)
 

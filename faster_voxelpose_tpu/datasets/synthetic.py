@@ -127,6 +127,17 @@ class SyntheticDataset(PoseDatasetBase):
         base = centers[rng.choice(len(centers))]
         return base + rng.normal(500, 50, 2) * rng.choice([1, -1], 2)
 
+    def evaluate(self, preds: np.ndarray):
+        """AP/MPJPE over the generated scenes (panoptic protocol).  The
+        reference's Synthetic.evaluate is a stub (synthetic.py:144-145);
+        having real metrics here makes the image-free pipeline fully
+        self-validating."""
+        from .evaluate import panoptic_metrics
+
+        gts = [(rec.joints_3d, rec.joints_3d_vis) for rec in self.records]
+        metric, msg, _ = panoptic_metrics(list(preds), gts)
+        return metric, msg
+
     @staticmethod
     def _bbox(pose_xy: np.ndarray, vis: np.ndarray) -> np.ndarray:
         idx = vis > 0

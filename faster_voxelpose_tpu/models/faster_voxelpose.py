@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops.sampling import build_quad_table
 from .hdn import HDNOutputs, HumanDetectionNet
 from .jln import JLNOutputs, JointLocalizationNet
 from .projection import ProjectionGeometry, make_projection_geometry
@@ -66,13 +67,17 @@ class FasterVoxelPoseNet(nn.Module):
         gt_bbox = meta.get("bbox") if (train and meta) else None
         num_person = meta.get("num_person") if (train and meta) else None
 
+        # one quad table per (sample, view), shared by the whole-space and
+        # all per-person sampling passes (see ops/sampling.py)
+        quads = jax.vmap(jax.vmap(build_quad_table))(heatmaps)
+
         hdn = HumanDetectionNet(
             geom=self.geom,
             max_people=K,
             min_score=cfg.CAPTURE_SPEC.MIN_SCORE,
             dtype=dtype,
             name="hdn",
-        )(heatmaps, cams, train, gt_roots, gt_bbox, num_person)
+        )(quads, cams, train, gt_roots, gt_bbox, num_person)
 
         mask = hdn.proposal_centers[:, :, 3] >= 0  # (B, K)
 
@@ -85,7 +90,7 @@ class FasterVoxelPoseNet(nn.Module):
             weight_hidden_channels=cfg.NETWORK.NUM_CHANNEL_JOINT_HIDDEN,
             dtype=dtype,
             name="jln",
-        )(heatmaps, cams, hdn.proposal_centers, train)
+        )(quads, cams, hdn.proposal_centers, train)
 
         # eval-time confidence refresh (reference writes JLN confs back
         # into proposal_centers[:, :, 4], joint_localization_net.py:98)

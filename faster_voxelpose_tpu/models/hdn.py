@@ -74,7 +74,7 @@ class HumanDetectionNet(nn.Module):
     @nn.compact
     def __call__(
         self,
-        heatmaps: jnp.ndarray,  # (B, V, H, W, J)
+        quads: jnp.ndarray,  # (B, V, H*W, 4, J) quad tables (ops/sampling.py)
         cams: jnp.ndarray,  # (B, V, 21)
         train: bool = False,
         gt_roots: Optional[jnp.ndarray] = None,  # (B, Kgt, 3)
@@ -82,11 +82,11 @@ class HumanDetectionNet(nn.Module):
         num_person: Optional[jnp.ndarray] = None,  # (B,)
     ) -> HDNOutputs:
         geom = self.geom
-        B = heatmaps.shape[0]
+        B = quads.shape[0]
         K = self.max_people
         vx, vy, vz = geom.voxels_per_axis
 
-        cubes = project_whole_batch(geom, heatmaps, cams)  # (B, X, Y, Z, J)
+        cubes = project_whole_batch(geom, quads, cams)  # (B, X, Y, Z, J)
 
         hm, size = CenterNet(dtype=self.dtype, name="center_net")(cubes, train)
         hm2d = hm[..., 0]  # (B, X, Y)

@@ -72,13 +72,13 @@ class JointLocalizationNet(nn.Module):
     @nn.compact
     def __call__(
         self,
-        heatmaps: jnp.ndarray,  # (B, V, H, W, J)
+        quads: jnp.ndarray,  # (B, V, H*W, 4, J) quad tables
         cams: jnp.ndarray,  # (B, V, 21)
         proposal_centers: jnp.ndarray,  # (B, K, 7) — treated as constant
         train: bool = False,
     ) -> JLNOutputs:
         geom = self.geom
-        B, V = heatmaps.shape[0], heatmaps.shape[1]
+        B, V = quads.shape[0], quads.shape[1]
         K = self.max_people
         J = self.num_joints
         vx, vy, vz = geom.ind_voxels_per_axis
@@ -95,8 +95,10 @@ class JointLocalizationNet(nn.Module):
         # never materialized across people (see project_individual_planes).
         n = B * K
         plane_xy, plane_xz, plane_yz = jax.vmap(
-            lambda hm, cam, tl, bb: project_individual_planes(geom, hm, cam, tl, bb)
-        )(heatmaps, cams, centers_tl, bbox_sizes)
+            lambda q, cam, tl, bb, v: project_individual_planes(
+                geom, q, cam, tl, bb, v
+            )
+        )(quads, cams, centers_tl, bbox_sizes, mask)
         plane_xy = plane_xy.reshape(n, vx, vy, J)
         plane_xz = plane_xz.reshape(n, vx, vz, J)
         plane_yz = plane_yz.reshape(n, vy, vz, J)

@@ -28,7 +28,7 @@ vmapped over batch, views and people:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,7 @@ from ..geometry.grids import (
     compute_grid_np,
     project_to_norm_coords,
 )
-from ..ops.sampling import sample_and_mean_views
+from ..ops.sampling import sample_and_mean_views_quad
 
 
 class ProjectionGeometry(NamedTuple):
@@ -114,15 +114,17 @@ def make_projection_geometry(cfg: Config) -> ProjectionGeometry:
 
 def project_whole(
     geom: ProjectionGeometry,
-    heatmaps: jnp.ndarray,  # (V, H, W, J)
+    quads: jnp.ndarray,  # (V, H*W, 4, J) quad tables (ops/sampling.py)
     cams: jnp.ndarray,  # (V, 21)
 ) -> jnp.ndarray:
     """One sample's whole-space voxel feature cube (X, Y, Z, J):
     project the static world grid into every view, bilinearly sample each
-    view's heatmaps, average over views, clamp to [0,1]
+    view's heatmaps (one fast-path row gather per sample via the quad
+    table), average over views, clamp to [0,1]
     (reference project_whole.forward, project_whole.py:62-88)."""
     grid = jnp.asarray(geom.whole_grid)  # (N, 3)
     rt = jnp.asarray(geom.resize_transform, jnp.float32)
+    w, h = geom.heatmap_size
 
     def per_view(cam):
         return project_to_norm_coords(
@@ -130,14 +132,14 @@ def project_whole(
         )
 
     coords = jax.vmap(per_view)(cams)  # (V, N, 2)
-    vals = sample_and_mean_views(heatmaps, coords)  # (N, J)
+    vals = sample_and_mean_views_quad(quads, coords, h, w)  # (N, J)
     vx, vy, vz = geom.voxels_per_axis
     return vals.reshape(vx, vy, vz, -1)
 
 
-def project_whole_batch(geom, heatmaps, cams):
-    """(B, V, H, W, J), (B, V, 21) -> (B, X, Y, Z, J)."""
-    return jax.vmap(functools.partial(project_whole, geom))(heatmaps, cams)
+def project_whole_batch(geom, quads, cams):
+    """(B, V, H*W, 4, J), (B, V, 21) -> (B, X, Y, Z, J)."""
+    return jax.vmap(functools.partial(project_whole, geom))(quads, cams)
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +166,7 @@ def compute_crop_origin(
 
 def project_individual(
     geom: ProjectionGeometry,
-    heatmaps: jnp.ndarray,  # (V, H, W, J)
+    quads: jnp.ndarray,  # (V, H*W, 4, J) quad tables
     cams: jnp.ndarray,  # (V, 21)
     center_tl: jnp.ndarray,  # (3,) int32 crop origin on the fine grid
     bbox_size: jnp.ndarray,  # (2,) normalized xy bbox size
@@ -215,7 +217,8 @@ def project_individual(
         )
 
     coords = jax.vmap(per_view)(cams)  # (V, N, 2)
-    vals = sample_and_mean_views(heatmaps, coords)  # (N, J)
+    w, h = geom.heatmap_size
+    vals = sample_and_mean_views_quad(quads, coords, h, w)  # (N, J)
     cube = vals.reshape(vx, vy, vz, -1)
 
     # bbox mask margin per xy axis (z margin fixed 0): reference
@@ -241,23 +244,24 @@ def project_individual(
 
 def project_individual_people(
     geom: ProjectionGeometry,
-    heatmaps: jnp.ndarray,  # (V, H, W, J)
+    quads: jnp.ndarray,  # (V, H*W, 4, J)
     cams: jnp.ndarray,  # (V, 21)
     centers_tl: jnp.ndarray,  # (K, 3)
     bbox_sizes: jnp.ndarray,  # (K, 2)
 ) -> jnp.ndarray:
     """All proposal slots of one sample: (K, 64, 64, 64, J)."""
-    return jax.vmap(lambda tl, bb: project_individual(geom, heatmaps, cams, tl, bb))(
+    return jax.vmap(lambda tl, bb: project_individual(geom, quads, cams, tl, bb))(
         centers_tl, bbox_sizes
     )
 
 
 def project_individual_planes(
     geom: ProjectionGeometry,
-    heatmaps: jnp.ndarray,  # (V, H, W, J)
+    quads: jnp.ndarray,  # (V, H*W, 4, J) quad tables
     cams: jnp.ndarray,  # (V, 21)
     centers_tl: jnp.ndarray,  # (K, 3)
     bbox_sizes: jnp.ndarray,  # (K, 2)
+    valid: Optional[jnp.ndarray] = None,  # (K,) bool; invalid slots skipped
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-person orthographic plane projections, memory-bounded.
 
@@ -267,16 +271,40 @@ def project_individual_planes(
     intermediates are live at a time (vmapping all K people at once peaks
     at >10GB of gather temporaries on the full Panoptic config — past a
     v5e's 16GB HBM once the backbone activations join).
+
+    Invalid proposal slots take a lax.cond fast path producing zero planes
+    — the cost of the JLN sampling then scales with the number of DETECTED
+    people, like the reference's valid-only loop
+    (joint_localization_net.py:77), instead of always paying MAX_PEOPLE.
+    (Downstream outputs for invalid slots are masked to zero regardless,
+    so this is behaviour-preserving; in train mode it changes what the
+    plane U-Net's BatchNorm batch statistics see for dead slots — zeros
+    instead of garbage crops — see docs/DESIGN.md.)
+
     Returns (plane_xy (K,X,Y,J), plane_xz (K,X,Z,J), plane_yz (K,Y,Z,J)).
     """
+    vx, vy, vz = geom.ind_voxels_per_axis
+    J = quads.shape[-1]
+    if valid is None:
+        valid = jnp.ones(centers_tl.shape[0], bool)
 
-    def body(args):
-        tl, bb = args
-        cube = project_individual(geom, heatmaps, cams, tl, bb)
+    def compute(args):
+        tl, bb, _ = args
+        cube = project_individual(geom, quads, cams, tl, bb)
         return (
             jnp.max(cube, axis=2),
             jnp.max(cube, axis=1),
             jnp.max(cube, axis=0),
         )
 
-    return jax.lax.map(body, (centers_tl, bbox_sizes))
+    def skip(args):
+        return (
+            jnp.zeros((vx, vy, J), jnp.float32),
+            jnp.zeros((vx, vz, J), jnp.float32),
+            jnp.zeros((vy, vz, J), jnp.float32),
+        )
+
+    def body(args):
+        return jax.lax.cond(args[2], compute, skip, args)
+
+    return jax.lax.map(body, (centers_tl, bbox_sizes, valid))

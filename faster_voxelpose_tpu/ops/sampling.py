@@ -77,6 +77,96 @@ def bilinear_sample(heatmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 bilinear_sample_views = jax.vmap(bilinear_sample, in_axes=(0, 0))
 
 
+# ---------------------------------------------------------------------------
+# quad-table sampling: the TPU fast path
+# ---------------------------------------------------------------------------
+# XLA:TPU gathers single rows of a 2D table at ~7ns/row (the embedding-
+# lookup fast path) but is ~80x slower for any multi-row slice (measured:
+# 17.6ns for slice (1,1,J) vs 1393ns for (2,2,J) on v5e).  Four corner
+# gathers per bilinear sample therefore dominate the whole pipeline (the
+# JLN's 13M samples/frame cost 350ms).  Fix: precompute, once per frame, a
+# table whose row (y*W + x) holds the full 2x2 bilinear patch at (y, x) —
+# 4*J floats — so each sample needs exactly ONE fast-path row gather.
+# Out-of-image patch entries are zero-padded; per-slot weights use the
+# distance form max(0, 1-|coord - pixel|), which reproduces zeros-padding
+# align_corners=True bilinear exactly (bit-validated vs torch grid_sample
+# in tests/test_sampling.py).
+
+
+def build_quad_table(heatmap: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, J) -> (H*W, 4, J): row y*W+x = [(y,x), (y,x+1), (y+1,x),
+    (y+1,x+1)] with zero padding past the image edge."""
+    H, W, J = heatmap.shape
+    padded = jnp.pad(heatmap, ((0, 1), (0, 1), (0, 0)))
+    quad = jnp.stack(
+        [
+            padded[:H, :W],
+            padded[:H, 1 : W + 1],
+            padded[1 : H + 1, :W],
+            padded[1 : H + 1, 1 : W + 1],
+        ],
+        axis=2,
+    )  # (H, W, 4, J)
+    return quad.reshape(H * W, 4, J)
+
+
+def _slot_weights_1d(v: jnp.ndarray, v0: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot bilinear weights by distance: slot s (pixel v0+s) gets
+    max(0, 1 - |v - (v0+s)|); clamped-out coords fade to zero exactly as
+    zeros-padding bilinear requires."""
+    v0f = v0.astype(jnp.float32)
+    w0 = jnp.maximum(0.0, 1.0 - jnp.abs(v - v0f))
+    w1 = jnp.maximum(0.0, 1.0 - jnp.abs(v - (v0f + 1.0)))
+    return w0, w1
+
+
+def bilinear_sample_quad(
+    quad: jnp.ndarray, coords: jnp.ndarray, height: int, width: int
+) -> jnp.ndarray:
+    """Sample via the quad table.
+
+    Args:
+      quad: (H*W, 4, J) from build_quad_table.
+      coords: (N, 2) normalized (x, y), align_corners=True convention.
+    Returns: (N, J) float32.
+    """
+    J = quad.shape[-1]
+    x = (coords[:, 0].astype(jnp.float32) + 1.0) * 0.5 * (width - 1)
+    y = (coords[:, 1].astype(jnp.float32) + 1.0) * 0.5 * (height - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, width - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, height - 1).astype(jnp.int32)
+
+    wx0, wx1 = _slot_weights_1d(x, x0)
+    wy0, wy1 = _slot_weights_1d(y, y0)
+    w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)  # (N,4)
+
+    rows = y0 * width + x0  # (N,)
+    flat = quad.reshape(height * width, 4 * J)
+    patches = jnp.take(flat, rows, axis=0).reshape(-1, 4, J)  # one gather/sample
+    return jnp.sum(patches * w[..., None], axis=1)
+
+
+build_quad_table_views = jax.vmap(build_quad_table)
+
+
+def sample_and_mean_views_quad(
+    quads: jnp.ndarray,
+    coords: jnp.ndarray,
+    height: int,
+    width: int,
+    clamp01: bool = True,
+) -> jnp.ndarray:
+    """Quad-table version of sample_and_mean_views: quads (V, H*W, 4, J),
+    coords (V, N, 2) -> (N, J) camera-averaged, clamped."""
+    vals = jax.vmap(lambda q, c: bilinear_sample_quad(q, c, height, width))(
+        quads, coords
+    )
+    out = jnp.mean(vals, axis=0)
+    if clamp01:
+        out = jnp.clip(out, 0.0, 1.0)
+    return out
+
+
 def sample_and_mean_views(
     heatmaps: jnp.ndarray, coords: jnp.ndarray, clamp01: bool = True
 ) -> jnp.ndarray:

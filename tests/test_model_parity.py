@@ -163,13 +163,17 @@ def test_whole_projection_parity(setup):
     hm_t, meta, cameras, rt = _ref_inputs(s)
     ref_cubes = ref_layer(hm_t, meta, cameras, rt).detach().numpy()  # (B,J,X,Y,Z)
 
+    import jax
+
     from faster_voxelpose_tpu.models.projection import (
         make_projection_geometry,
         project_whole_batch,
     )
+    from faster_voxelpose_tpu.ops.sampling import build_quad_table
 
     geom = make_projection_geometry(s.cfg)
-    ours = np.asarray(project_whole_batch(geom, s.heatmaps, s.cams))
+    quads = jax.vmap(jax.vmap(build_quad_table))(s.heatmaps)
+    ours = np.asarray(project_whole_batch(geom, quads, s.cams))
     ours_t = ours.transpose(0, 4, 1, 2, 3)  # channels-last -> torch layout
     np.testing.assert_allclose(ours_t, ref_cubes, rtol=1e-3, atol=2e-4)
 

@@ -33,10 +33,6 @@ def setup():
 
     rng = np.random.RandomState(0)
     cams = _example_cameras(B, V)
-    # GT-consistent supervision for one synthetic person per sample
-    roots = rng.uniform([-800, -800, 600], [800, 800, 1000], (B, K, 3)).astype(
-        np.float32
-    )
     batch = {
         "input_heatmaps": rng.rand(B, V, H, W, J).astype(np.float32) * 0.3,
         "cameras": cams,
@@ -45,15 +41,31 @@ def setup():
         "index": rng.randint(0, vx * vy, (B, K)).astype(np.float32),
         "bbox": rng.rand(B, K, 2).astype(np.float32) * 0.5 + 0.3,
         "mask": np.tile(np.arange(K) < 2, (B, 1)),
-        "roots_3d": roots,
-        "num_person": np.full((B,), 2, np.int32),
-        "joints_3d": (roots[:, :, None, :] + rng.uniform(-200, 200, (B, K, J, 3))).astype(np.float32),
-        "joints_3d_vis": np.ones((B, K, J), np.float32),
     }
 
     variables = model.init(
         jax.random.PRNGKey(0), batch["input_heatmaps"][:1], batch["cameras"][:1],
         train=False,
+    )
+
+    # anchor GT roots at the model's own train-mode proposal locations
+    # (train-mode BatchNorm shifts the BEV heatmap vs eval mode) so the
+    # 500mm training matching succeeds and the joint loss is non-zero
+    eval_out, _ = model.apply(
+        variables, batch["input_heatmaps"], batch["cameras"], train=True,
+        mutable=["batch_stats"],
+    )
+    prop_xyz = np.asarray(eval_out.proposal_centers[:, :, :3])
+    roots = (prop_xyz + rng.uniform(-120, 120, prop_xyz.shape)).astype(np.float32)
+    batch.update(
+        {
+            "roots_3d": roots,
+            "num_person": np.full((B,), 2, np.int32),
+            "joints_3d": (
+                roots[:, :, None, :] + rng.uniform(-200, 200, (B, K, J, 3))
+            ).astype(np.float32),
+            "joints_3d_vis": np.ones((B, K, J), np.float32),
+        }
     )
     state = create_train_state(cfg, variables)
     step = jax.jit(make_train_step(cfg, model))
@@ -79,7 +91,8 @@ def test_pose_partition_steps_on_schedule(setup):
     p0 = state.params["hdn"]
     j0 = state.params["jln"]
 
-    state1, _ = step(state, batch, None)
+    state1, losses1 = step(state, batch, None)
+    assert float(losses1["joint"]) > 0, "test setup: joint loss must be active"
     # accumulation_steps=2: pose partition unchanged after 1 step
     d_pose = jax.tree.reduce(
         lambda a, b: a + b,
