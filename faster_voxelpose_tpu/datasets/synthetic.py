@@ -48,9 +48,12 @@ class SyntheticDataset(PoseDatasetBase):
         is_train: bool = True,
         pose_bank: Optional[List[dict]] = None,
         cameras: Optional[Dict[int, dict]] = None,
-        seed: int = 0,
+        seed: Optional[int] = None,
     ):
         super().__init__(cfg, is_train)
+        if seed is None:
+            # distinct scene sets for train and held-out eval
+            seed = cfg.TRAIN.SEED if is_train else cfg.TRAIN.SEED + 10007
         self.heatmap_src = "gt"
         self.data_augmentation = cfg.SYNTHETIC.DATA_AUGMENTATION
         self.max_synthetic_people = cfg.SYNTHETIC.MAX_PEOPLE

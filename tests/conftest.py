@@ -30,6 +30,11 @@ except ImportError:
 import jax
 
 jax.config.update("jax_cpu_enable_async_dispatch", False)
+
+# The jaxtyping pytest plugin imports jax BEFORE this conftest executes, so
+# JAX_PLATFORMS from os.environ came too late for jax.config — force the
+# platform through the config (backends are still uninitialized here).
+jax.config.update("jax_platforms", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
