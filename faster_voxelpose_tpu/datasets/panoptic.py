@@ -15,7 +15,7 @@ import json
 import logging
 import os.path as osp
 import pickle
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import logging
-import os
 import os.path as osp
 import pickle
 from typing import Dict, List, Tuple

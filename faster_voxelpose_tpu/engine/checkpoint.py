@@ -11,7 +11,6 @@ import logging
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -14,7 +14,7 @@ Functionally equivalent to the reference's paired torch/numpy projection
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

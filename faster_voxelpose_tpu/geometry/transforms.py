@@ -9,7 +9,7 @@ resulting 2x3 matrix ships to the device as a static constant.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ modules mechanically.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

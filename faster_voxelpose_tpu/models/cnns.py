@@ -8,12 +8,12 @@ Outputs keep channels last: callers index [..., c].
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .blocks import ConvBNRelu, EncoderDecoder, UNetFront, conv_init
+from .blocks import EncoderDecoder, UNetFront, conv_init
 
 
 class P2PNet(nn.Module):

@@ -11,7 +11,7 @@ semantics to the reference's padded tensors, faster_voxelpose.py:45).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional
 
 import flax.linen as nn
 import jax

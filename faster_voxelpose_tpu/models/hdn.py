@@ -17,7 +17,6 @@ from typing import Any, NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.nms import nms2d_topk
 from .cnns import C2CNet, CenterNet

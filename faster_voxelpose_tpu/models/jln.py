@@ -11,7 +11,7 @@ the reference's `continue` control flow.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ pose_resnet50_panoptic checkpoint.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import logging
 import os
 import time
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Tuple
 
 
 def create_logger(cfg, cfg_name: str, phase: str = "train") -> Tuple[logging.Logger, str, str]:

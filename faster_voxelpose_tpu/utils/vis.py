@@ -11,7 +11,7 @@ gated by cfg.TRAIN/TEST.VISUALIZATION + VIS_TYPE.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -23,7 +23,7 @@ a zipfile/pickle loader.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -123,6 +123,24 @@ def main():
                     losses["2d_heatmaps"], losses["1d_heatmaps"],
                     losses["bbox"], losses["joint"],
                 )
+                if cfg.TRAIN.VISUALIZATION and "2d_planes" in cfg.TRAIN.VIS_TYPE:
+                    # render this batch's predictions (reference
+                    # train_vis_all, function.py:112-114)
+                    from faster_voxelpose_tpu.engine.validator import make_eval_step
+                    from faster_voxelpose_tpu.utils.vis import save_2d_planes
+
+                    eval_vars = {
+                        "params": state.params, "batch_stats": state.batch_stats,
+                    }
+                    preds = np.asarray(
+                        make_eval_step(cfg, model)(
+                            eval_vars, batch["input_heatmaps"], batch["cameras"]
+                        )
+                    )
+                    save_2d_planes(
+                        cfg, preds[0], None,
+                        os.path.join(output_dir, "train_vis", f"{epoch}_{i:06d}"),
+                    )
                 global_step += 1
             end = time.time()
 

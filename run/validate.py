@@ -95,12 +95,20 @@ def main():
                 ]
             )
 
-    metric, msg, _ = run_validation(
+    metric, msg, preds = run_validation(
         cfg, model, variables, test_ds,
         backbone=backbone, backbone_vars=backbone_vars, image_loader=image_loader,
     )
     print(msg)
     print(f"metric: {metric:.4f}")
+
+    if cfg.TEST.VISUALIZATION:
+        from faster_voxelpose_tpu.utils.vis import save_2d_planes
+
+        vis_dir = os.path.join(output_dir, "validation_vis")
+        for i in range(min(len(preds), 20)):
+            save_2d_planes(cfg, preds[i], None, os.path.join(vis_dir, f"{i:04d}"))
+        logger.info("wrote visualizations to %s", vis_dir)
 
 
 if __name__ == "__main__":
