@@ -23,6 +23,7 @@ def parse_args():
     p.add_argument("--cfg", required=True, help="experiment yaml")
     p.add_argument("--epochs", type=int, default=None, help="override END_EPOCH")
     p.add_argument("--num-data", type=int, default=None, help="override SYNTHETIC.NUM_DATA")
+    p.add_argument("--resume", action="store_true", help="resume from checkpoint")
     return p.parse_args()
 
 
@@ -48,6 +49,8 @@ def main():
         cfg.TRAIN.END_EPOCH = args.epochs
     if args.num_data is not None:
         cfg.SYNTHETIC.NUM_DATA = args.num_data
+    if args.resume:
+        cfg.TRAIN.RESUME = True
 
     logger, output_dir, log_dir = create_logger(cfg, args.cfg, "train")
     writer = ScalarWriter(log_dir)
