@@ -99,8 +99,18 @@ class PoseDatasetBase:
             sample["input_heatmaps"] = self._heatmaps_from_preds(rec)
         elif self.heatmap_src == "gt":
             sample["input_heatmaps"] = self._heatmaps_from_gt(rec)
-        # 'image' source: images are loaded by the image pipeline
-        # (datasets/images.py), not here.
+        elif self.heatmap_src == "image":
+            # decode + warp + normalize per-view images on the host (in
+            # pool workers when the loader runs multi-process); the
+            # backbone consumes them on device (reference function.py:39-46)
+            from .images import load_view_images
+
+            sample["images"] = load_view_images(
+                rec.image_paths,
+                self.image_size,
+                self.resize_transform,
+                self.cfg.DATASET.COLOR_RGB,
+            )
 
         if rec.joints_3d is not None:
             sample.update(self._build_supervision(rec))

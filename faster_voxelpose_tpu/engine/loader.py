@@ -25,6 +25,16 @@ _WORKER_DATASET = None
 def _worker_init(dataset_factory):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset_factory()
+    # fork workers inherit identical RNG state; decorrelate augmentation
+    # draws per worker (torch DataLoader seeds workers distinctly too)
+    rng = getattr(_WORKER_DATASET, "_rng", None)
+    if rng is not None:
+        import os
+
+        base = rng.randint(0, 2**31 - 1)
+        _WORKER_DATASET._rng = np.random.RandomState(
+            (base + os.getpid()) % (2**31 - 1)
+        )
 
 
 def _worker_get(idx: int):
@@ -44,12 +54,24 @@ class DataLoader:
         num_workers: int = 0,
         seed: int = 0,
         dataset_factory=None,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
+        """process_count/process_index: multi-host input sharding for
+        DCN-attached pods — every host builds the same seeded global order
+        and takes a disjoint strided slice of it, so the union of all
+        hosts' batches is exactly the dataset (batch_size here is the
+        PER-HOST batch).  Defaults are single-host.  Pass
+        jax.process_count()/jax.process_index() on a pod."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
+        if not (0 <= process_index < process_count):
+            raise ValueError(f"process_index {process_index} not in [0, {process_count})")
+        self.process_count = process_count
+        self.process_index = process_index
         self._rng = np.random.RandomState(seed)
         self._pool = None
         if num_workers > 0:
@@ -60,16 +82,27 @@ class DataLoader:
                 num_workers, initializer=_worker_init, initargs=(dataset_factory,)
             )
 
+    def _host_order(self) -> np.ndarray:
+        """This host's record indices: seeded global permutation, strided
+        slice per process (disjoint across hosts by construction)."""
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index :: self.process_count]
+        return order
+
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.process_count > 1:
+            # records this host owns (strided slice length)
+            n = (n - self.process_index + self.process_count - 1) // self.process_count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self._rng.shuffle(order)
+        order = self._host_order()
         bs = self.batch_size
         end = len(order) - (len(order) % bs) if self.drop_last else len(order)
 

@@ -42,9 +42,21 @@ class TrainState(NamedTuple):
 
 
 def partition_params(params) -> Tuple[Any, Any]:
-    """Split the model param tree into (pose=HDN, joint=JLN) partitions."""
+    """Split the model param tree into (pose=HDN, joint=JLN) partitions.
+
+    The partition must cover the whole tree: a top-level subtree that is
+    neither 'hdn' nor 'jln' would silently receive zero updates, so it is
+    an error (e.g. if a trainable backbone ever joins `params`, extend the
+    partitioning deliberately rather than dropping its gradients)."""
     pose = {k: v for k, v in params.items() if k == "hdn"}
     joint = {k: v for k, v in params.items() if k == "jln"}
+    uncovered = set(params) - set(pose) - set(joint)
+    if uncovered:
+        raise ValueError(
+            f"param subtrees {sorted(uncovered)} are covered by neither "
+            "optimizer partition (pose='hdn', joint='jln'); they would get "
+            "zero updates"
+        )
     return pose, joint
 
 

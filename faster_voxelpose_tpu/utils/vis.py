@@ -160,8 +160,20 @@ def save_heatmaps(heatmaps: np.ndarray, prefix: str):
     return paths
 
 
-def test_vis_all(cfg, batch_meta, fused_poses, proposal_centers, heatmaps, prefix):
-    """Dispatch on cfg.TEST.VIS_TYPE (reference test_vis_all, vis.py:48-57)."""
+def test_vis_all(
+    cfg,
+    batch_meta,
+    fused_poses,
+    proposal_centers,
+    heatmaps,
+    prefix,
+    images=None,  # per sample: sequence of per-view HWC uint8 frames
+    packed_rigs=None,  # (N, V, 21)
+    resize_transform=None,
+):
+    """Dispatch on cfg.TEST.VIS_TYPE (reference test_vis_all, vis.py:48-57):
+    every configured VIS_TYPE entry ('2d_planes', 'image_with_poses',
+    'heatmaps') emits its artifact kind for each sample."""
     outputs = []
     if "2d_planes" in cfg.TEST.VIS_TYPE:
         for i in range(len(fused_poses)):
@@ -170,6 +182,18 @@ def test_vis_all(cfg, batch_meta, fused_poses, proposal_centers, heatmaps, prefi
                     cfg, fused_poses[i],
                     proposal_centers[i] if proposal_centers is not None else None,
                     f"{prefix}_{i:04d}",
+                )
+            )
+    if (
+        "image_with_poses" in cfg.TEST.VIS_TYPE
+        and images is not None
+        and packed_rigs is not None
+    ):
+        for i in range(len(fused_poses)):
+            outputs.extend(
+                save_image_with_poses(
+                    cfg, images[i], fused_poses[i], packed_rigs[i],
+                    f"{prefix}_{i:04d}", resize_transform,
                 )
             )
     if "heatmaps" in cfg.TEST.VIS_TYPE and heatmaps is not None:

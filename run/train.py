@@ -92,12 +92,17 @@ def main():
 
     train_step = jax.jit(make_train_step(cfg, model, backbone), donate_argnums=(0,))
 
+    # multi-process sample rendering (reference run/train.py:68-73 uses
+    # cfg.WORKERS torch DataLoader workers); the fork-based pool shares the
+    # built dataset db copy-on-write, so the factory just returns it.
     loader = DataLoader(
         train_ds,
         cfg.TRAIN.BATCH_SIZE,
         shuffle=cfg.TRAIN.SHUFFLE,
         drop_last=True,
+        num_workers=cfg.WORKERS,
         seed=cfg.TRAIN.SEED,
+        dataset_factory=(lambda: train_ds) if cfg.WORKERS > 0 else None,
     )
 
     meters = {k: AverageMeter() for k in ("total", "2d", "1d", "bbox", "joint", "time")}
@@ -110,23 +115,25 @@ def main():
             batch.pop("offset", None)
             state, losses = train_step(state, batch, backbone_vars)
             if i % cfg.PRINT_FREQ == 0:
+                # block on this step's losses so the reported batch time is
+                # the true step latency, not the async-dispatch queue time
                 losses = {k: float(v) for k, v in losses.items()}
-                meters["time"].update(time.time() - end)
+                batch_time = (time.time() - end) / (1 if i == 0 else cfg.PRINT_FREQ)
+                meters["time"].update(batch_time)
                 for k, mk in (("total", "total"), ("2d_heatmaps", "2d"),
                               ("1d_heatmaps", "1d"), ("bbox", "bbox"), ("joint", "joint")):
                     meters[mk].update(losses[k])
                     writer.add_scalar(f"train_loss_{mk}", losses[k], global_step)
-                speed = cfg.TRAIN.BATCH_SIZE * cfg.PRINT_FREQ / max(
-                    time.time() - end, 1e-9
-                )
+                speed = cfg.TRAIN.BATCH_SIZE / max(batch_time, 1e-9)
                 logger.info(
-                    "Epoch [%d][%d/%d] Speed %.1f samples/s Loss %.6f "
-                    "(2d %.6f 1d %.6f bbox %.6f joint %.6f)",
-                    epoch, i, len(loader), speed, losses["total"],
+                    "Epoch [%d][%d/%d] Speed %.1f samples/s (%.3fs/batch) "
+                    "Loss %.6f (2d %.6f 1d %.6f bbox %.6f joint %.6f)",
+                    epoch, i, len(loader), speed, batch_time, losses["total"],
                     losses["2d_heatmaps"], losses["1d_heatmaps"],
                     losses["bbox"], losses["joint"],
                 )
-                if cfg.TRAIN.VISUALIZATION and "2d_planes" in cfg.TRAIN.VIS_TYPE:
+                if cfg.TRAIN.VISUALIZATION and "2d_planes" in cfg.TRAIN.VIS_TYPE \
+                        and "input_heatmaps" in batch:
                     # render this batch's predictions (reference
                     # train_vis_all, function.py:112-114)
                     from faster_voxelpose_tpu.engine.validator import make_eval_step
@@ -144,8 +151,8 @@ def main():
                         cfg, preds[0], None,
                         os.path.join(output_dir, "train_vis", f"{epoch}_{i:06d}"),
                     )
-                global_step += 1
-            end = time.time()
+                end = time.time()
+            global_step += 1
 
         eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
         metric, msg, _ = run_validation(cfg, model, eval_vars, test_ds)
@@ -154,6 +161,7 @@ def main():
         best_metric = max(metric, best_metric)
         save_checkpoint(output_dir, state, epoch + 1, best_metric, is_best, eval_vars)
 
+    loader.close()
     logger.info("done; best metric %.4f", best_metric)
     writer.close()
 

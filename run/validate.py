@@ -103,11 +103,35 @@ def main():
     print(f"metric: {metric:.4f}")
 
     if cfg.TEST.VISUALIZATION:
-        from faster_voxelpose_tpu.utils.vis import save_2d_planes
+        # every configured VIS_TYPE artifact kind, like the reference's
+        # test_vis_all (lib/core/function.py:163-165, lib/utils/vis.py:48-57)
+        from faster_voxelpose_tpu.utils.vis import test_vis_all
 
         vis_dir = os.path.join(output_dir, "validation_vis")
-        for i in range(min(len(preds), 20)):
-            save_2d_planes(cfg, preds[i], None, os.path.join(vis_dir, f"{i:04d}"))
+        n_vis = min(len(preds), 20)
+        idxs = list(range(n_vis))
+        heatmaps = images = rigs = None
+        if "heatmaps" in cfg.TEST.VIS_TYPE and cfg.DATASET.TEST_HEATMAP_SRC != "image":
+            heatmaps = np.stack([test_ds[i]["input_heatmaps"] for i in idxs])
+        if "image_with_poses" in cfg.TEST.VIS_TYPE:
+            import cv2
+
+            def _load_views(rec):
+                return [
+                    cv2.imread(p, cv2.IMREAD_COLOR)
+                    for p in (rec.image_paths or [])
+                ]
+
+            loaded = [_load_views(test_ds.records[i]) for i in idxs]
+            if all(v and all(im is not None for im in v) for v in loaded):
+                images = loaded
+                rigs = np.stack([test_ds[i]["cameras"] for i in idxs])
+        test_vis_all(
+            cfg, None, preds[:n_vis], None, heatmaps,
+            os.path.join(vis_dir, "val"),
+            images=images, packed_rigs=rigs,
+            resize_transform=None,  # original-frame images: no warp
+        )
         logger.info("wrote visualizations to %s", vis_dir)
 
 

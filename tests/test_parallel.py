@@ -62,3 +62,67 @@ def test_view_sharded_forward_matches(setup):
         fwd(jax.device_put(variables, replicated(mesh)), heatmaps, cams)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+def _train_batch(cfg, B, rng):
+    V = cfg.DATASET.CAMERA_NUM
+    W, H = cfg.DATASET.HEATMAP_SIZE
+    J = cfg.DATASET.NUM_JOINTS
+    K = cfg.CAPTURE_SPEC.MAX_PEOPLE
+    vx, vy, vz = cfg.CAPTURE_SPEC.VOXELS_PER_AXIS
+    roots = rng.uniform(-1200, 1200, (B, K, 3)).astype(np.float32)
+    roots[..., 2] = rng.uniform(600, 1000, (B, K))
+    return {
+        "input_heatmaps": rng.rand(B, V, H, W, J).astype(np.float32) * 0.4,
+        "cameras": _example_cameras(B, V),
+        "2d_heatmaps": rng.rand(B, vx, vy).astype(np.float32),
+        "1d_heatmaps": rng.rand(B, K, vz).astype(np.float32),
+        "index": rng.randint(0, vx * vy, (B, K)).astype(np.float32),
+        "bbox": rng.rand(B, K, 2).astype(np.float32) * 0.5 + 0.3,
+        "mask": np.tile(np.arange(K) < 2, (B, 1)),
+        "roots_3d": roots,
+        "num_person": np.full((B,), 2, np.int32),
+        "joints_3d": (
+            roots[:, :, None, :] + rng.uniform(-200, 200, (B, K, J, 3))
+        ).astype(np.float32),
+        "joints_3d_vis": np.ones((B, K, J), np.float32),
+    }
+
+
+def test_dp_train_step_matches_single_device(setup):
+    """Multi-chip training correctness: N steps of the data-parallel train
+    step over the 8-virtual-device mesh produce the same parameters as the
+    single-device step on the identical global batch (the gradient psum
+    XLA inserts must be exactly a global batch mean)."""
+    from faster_voxelpose_tpu.engine.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+    from faster_voxelpose_tpu.parallel.mesh import make_dp_train_step
+
+    cfg, model, variables, *_ = setup
+    batch = _train_batch(cfg, 8, np.random.RandomState(3))
+
+    state_single = create_train_state(cfg, variables)
+    step_single = jax.jit(make_train_step(cfg, model))
+
+    mesh = make_mesh(8)
+    state_dp = jax.device_put(create_train_state(cfg, variables), replicated(mesh))
+    step_dp = make_dp_train_step(cfg, model, mesh)
+    batch_dp = shard_batch(batch, mesh, cfg.PARALLEL.MESH_AXIS_NAME)
+
+    for i in range(3):
+        state_single, losses_s = step_single(state_single, batch, None)
+        state_dp, losses_d = step_dp(state_dp, batch_dp, None)
+        assert float(losses_s["total"]) == pytest.approx(
+            float(losses_d["total"]), rel=1e-5
+        ), f"loss diverged at step {i}"
+
+    flat_s = jax.tree_util.tree_leaves_with_path(state_single.params)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(state_dp.params))
+    assert flat_s, "empty param tree"
+    for path, leaf_s in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(leaf_s), np.asarray(flat_d[path]),
+            rtol=2e-4, atol=2e-6, err_msg=str(path),
+        )
