@@ -35,9 +35,9 @@ def main():
     import jax.numpy as jnp
 
     from faster_voxelpose_tpu.config import load_config
+    from faster_voxelpose_tpu.geometry.example_rigs import dome_rig
     from faster_voxelpose_tpu.models.faster_voxelpose import build_model
     from faster_voxelpose_tpu.models.resnet import build_backbone
-    from __graft_entry__ import _example_cameras
 
     cfg = load_config(
         os.path.join(os.path.dirname(__file__), "configs/panoptic/jln64.yaml")
@@ -54,7 +54,10 @@ def main():
     W, H = cfg.DATASET.HEATMAP_SIZE
 
     rng = np.random.RandomState(0)
-    cams = _example_cameras(1, V)
+    # realistic Panoptic-like dome rig: bench geometry must be honest —
+    # the sampling kernel's window coverage depends on it
+    cams = dome_rig(1, V, space_center=cfg.CAPTURE_SPEC.SPACE_CENTER,
+                    ori_image_size=cfg.DATASET.ORI_IMAGE_SIZE)
     rngk = jax.random.PRNGKey(0)
     backbone_vars = backbone.init(rngk, np.zeros((1, ih, iw, 3), np.float32))
     variables = model.init(

@@ -77,6 +77,35 @@ class NetworkConfig:
     # TPU-native additions (not in the reference): compute dtype for the
     # conv stacks.  Params are always f32; bf16 activations feed the MXU.
     COMPUTE_DTYPE: str = "bfloat16"
+    # bilinear-sampling backend for the projection stages:
+    #   'quad'   — XLA row-gather via per-frame quad tables (exact, any
+    #              shape; the gather engine bounds it at ~10ns/sample)
+    #   'pallas' — ops/pallas_sampling.py matmul-gather kernel (TPU only,
+    #              J<=16; ~1.1ns/sample on v5e)
+    #   'auto'   — pallas when running on TPU and the shapes allow it
+    SAMPLING_BACKEND: str = "auto"
+    # pallas kernel tuning: voxel tile per kernel block and the heatmap
+    # window (x, y) it samples from.  Exactness requires each tile's
+    # pixel footprint to fit the window minus a 9px alignment margin
+    # (ops/pallas_sampling.py:tile_pixel_spread).  Defaults swept on v5e
+    # (scripts/sweep_planes.py): large tiles amortize per-block fixed
+    # costs; the wide windows keep coverage down to ~2m camera distance.
+    PALLAS_TILE: Tuple[int, int, int] = (8, 8, 8)
+    PALLAS_WINDOW: Tuple[int, int] = (40, 48)
+    # f32-exact MXU passes (3x slower sampling); DEFAULT bf16 passes err
+    # ~2e-3, below the bf16 conv stack's own noise
+    PALLAS_EXACT: bool = False
+    # run the kernel in the Pallas interpreter (CPU tests only)
+    PALLAS_INTERPRET: bool = False
+    # whole-space (HDN) projection through the same kernel (3.3ms vs
+    # 7.2ms quad on v5e) — OFF by default: the room-spanning grid has
+    # bins close to cameras whose footprint exceeds any practical window
+    # (measured max err 0.18 on those bins), which could perturb
+    # detection.  Opt in when the capture layout keeps people >~1m from
+    # every camera and throughput matters more.
+    PALLAS_WHOLE: bool = False
+    PALLAS_WHOLE_TILE: Tuple[int, int, int] = (4, 4, 4)
+    PALLAS_WHOLE_WINDOW: Tuple[int, int] = (64, 64)
 
 
 @dataclass

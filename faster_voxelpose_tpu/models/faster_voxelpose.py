@@ -24,6 +24,71 @@ from .jln import JLNOutputs, JointLocalizationNet
 from .projection import ProjectionGeometry, make_projection_geometry
 
 
+def resolve_sampling_spec(cfg: Config):
+    """Pick the bilinear-sampling backend: a SampleKernelSpec when the
+    Pallas kernel applies (TPU backend or interpreter forced, J <= 16,
+    heatmaps fit VMEM, tile divides the crop), else None (quad path)."""
+    import jax
+
+    from ..ops.pallas_sampling import SampleKernelSpec
+
+    backend = cfg.NETWORK.SAMPLING_BACKEND
+    if backend == "quad":
+        return None
+    interpret = bool(cfg.NETWORK.PALLAS_INTERPRET)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if backend == "auto" and not (on_tpu or interpret):
+        return None
+
+    W, H = cfg.DATASET.HEATMAP_SIZE
+    J = cfg.DATASET.NUM_JOINTS
+    V = cfg.DATASET.CAMERA_NUM
+    tile = tuple(cfg.NETWORK.PALLAS_TILE)
+    spec = SampleKernelSpec(
+        n_views=V,
+        height=H,
+        width=W,
+        num_joints=J,
+        tile=tile,
+        window_x=int(cfg.NETWORK.PALLAS_WINDOW[0]),
+        window_y=int(cfg.NETWORK.PALLAS_WINDOW[1]),
+        exact=bool(cfg.NETWORK.PALLAS_EXACT),
+        interpret=interpret and not on_tpu,
+    )
+    ok = (
+        J <= 16
+        and V * H * W * spec.jp * 4 <= 12 * 2**20  # heatmaps must fit VMEM
+        and all(v % t == 0 for v, t in zip(cfg.INDIVIDUAL_SPEC.VOXELS_PER_AXIS, tile))
+    )
+    if not ok:
+        if backend == "pallas":
+            raise ValueError(
+                "SAMPLING_BACKEND 'pallas' requested but the profile does "
+                f"not fit the kernel (J={J}, V={V}, heatmap {W}x{H}, tile {tile})"
+            )
+        return None
+    return spec
+
+
+def resolve_whole_sampling_spec(cfg: Config, crop_spec):
+    """Whole-space (HDN) variant of the kernel spec; requires the crop
+    spec to be enabled, PALLAS_WHOLE, and the whole-grid tile to divide
+    VOXELS_PER_AXIS."""
+    import dataclasses
+
+    if crop_spec is None or not cfg.NETWORK.PALLAS_WHOLE:
+        return None
+    tile = tuple(cfg.NETWORK.PALLAS_WHOLE_TILE)
+    if any(v % t for v, t in zip(cfg.CAPTURE_SPEC.VOXELS_PER_AXIS, tile)):
+        return None
+    return dataclasses.replace(
+        crop_spec,
+        tile=tile,
+        window_x=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[0]),
+        window_y=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[1]),
+    )
+
+
 class ModelOutputs(NamedTuple):
     fused_poses: jnp.ndarray  # (B, K, J, 5): xyz, validity flag, score
     plane_poses: jnp.ndarray  # (3, B, K, J, 2)
@@ -47,6 +112,10 @@ class FasterVoxelPoseNet(nn.Module):
 
     cfg: Config
     geom: ProjectionGeometry
+    # ops.pallas_sampling.SampleKernelSpec or None (resolved once in
+    # build_model; None = XLA quad-gather sampling)
+    sampling_spec: Optional[object] = None
+    whole_sampling_spec: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -67,17 +136,32 @@ class FasterVoxelPoseNet(nn.Module):
         gt_bbox = meta.get("bbox") if (train and meta) else None
         num_person = meta.get("num_person") if (train and meta) else None
 
-        # one quad table per (sample, view), shared by the whole-space and
-        # all per-person sampling passes (see ops/sampling.py)
-        quads = jax.vmap(jax.vmap(build_quad_table))(heatmaps)
+        # one quad table per (sample, view), shared by every quad-path
+        # sampling pass (see ops/sampling.py); skipped entirely when both
+        # projection stages run through the Pallas kernel
+        need_quads = self.sampling_spec is None or self.whole_sampling_spec is None
+        quads = (
+            jax.vmap(jax.vmap(build_quad_table))(heatmaps) if need_quads else None
+        )
+
+        # packed layout for the Pallas sampling kernel
+        hm_packed = None
+        if self.sampling_spec is not None:
+            from ..ops.pallas_sampling import pack_heatmaps
+
+            hm_packed = jax.vmap(
+                lambda hm: pack_heatmaps(hm, self.sampling_spec)
+            )(heatmaps)
 
         hdn = HumanDetectionNet(
             geom=self.geom,
             max_people=K,
             min_score=cfg.CAPTURE_SPEC.MIN_SCORE,
             dtype=dtype,
+            sampling_spec=self.whole_sampling_spec,
             name="hdn",
-        )(quads, cams, train, gt_roots, gt_bbox, num_person)
+        )(quads, cams, train, gt_roots, gt_bbox, num_person,
+          hm_packed=hm_packed)
 
         mask = hdn.proposal_centers[:, :, 3] >= 0  # (B, K)
 
@@ -89,8 +173,9 @@ class FasterVoxelPoseNet(nn.Module):
             weight_feat_channels=cfg.NETWORK.NUM_CHANNEL_JOINT_FEAT,
             weight_hidden_channels=cfg.NETWORK.NUM_CHANNEL_JOINT_HIDDEN,
             dtype=dtype,
+            sampling_spec=self.sampling_spec,
             name="jln",
-        )(quads, cams, hdn.proposal_centers, train)
+        )(quads, cams, hdn.proposal_centers, train, hm_packed=hm_packed)
 
         # eval-time confidence refresh (reference writes JLN confs back
         # into proposal_centers[:, :, 4], joint_localization_net.py:98)
@@ -171,4 +256,10 @@ class FasterVoxelPoseNet(nn.Module):
 
 
 def build_model(cfg: Config) -> FasterVoxelPoseNet:
-    return FasterVoxelPoseNet(cfg=cfg, geom=make_projection_geometry(cfg))
+    spec = resolve_sampling_spec(cfg)
+    return FasterVoxelPoseNet(
+        cfg=cfg,
+        geom=make_projection_geometry(cfg),
+        sampling_spec=spec,
+        whole_sampling_spec=resolve_whole_sampling_spec(cfg, spec),
+    )

@@ -20,7 +20,11 @@ import jax.numpy as jnp
 
 from ..ops.nms import nms2d_topk
 from .cnns import C2CNet, CenterNet
-from .projection import ProjectionGeometry, project_whole_batch
+from .projection import (
+    ProjectionGeometry,
+    project_whole_batch,
+    project_whole_batch_pallas,
+)
 
 
 class HDNOutputs(NamedTuple):
@@ -69,6 +73,8 @@ class HumanDetectionNet(nn.Module):
     max_people: int
     min_score: float
     dtype: Any = jnp.float32
+    # SampleKernelSpec (whole-space tiling) or None = quad path
+    sampling_spec: Any = None
 
     @nn.compact
     def __call__(
@@ -79,13 +85,19 @@ class HumanDetectionNet(nn.Module):
         gt_roots: Optional[jnp.ndarray] = None,  # (B, Kgt, 3)
         gt_bbox: Optional[jnp.ndarray] = None,  # (B, Kgt, 2)
         num_person: Optional[jnp.ndarray] = None,  # (B,)
+        hm_packed: jnp.ndarray = None,  # (B, V, H, W*JP) when pallas
     ) -> HDNOutputs:
         geom = self.geom
-        B = quads.shape[0]
+        B = cams.shape[0]
         K = self.max_people
         vx, vy, vz = geom.voxels_per_axis
 
-        cubes = project_whole_batch(geom, quads, cams)  # (B, X, Y, Z, J)
+        if self.sampling_spec is not None:
+            cubes = project_whole_batch_pallas(
+                geom, hm_packed, cams, self.sampling_spec
+            )
+        else:
+            cubes = project_whole_batch(geom, quads, cams)  # (B, X, Y, Z, J)
 
         hm, size = CenterNet(dtype=self.dtype, name="center_net")(cubes, train)
         hm2d = hm[..., 0]  # (B, X, Y)

@@ -23,6 +23,7 @@ from .projection import (
     ProjectionGeometry,
     compute_crop_origin,
     project_individual_planes,
+    project_individual_planes_pallas,
 )
 
 
@@ -68,6 +69,9 @@ class JointLocalizationNet(nn.Module):
     weight_feat_channels: int = 32
     weight_hidden_channels: int = 64
     dtype: Any = jnp.float32
+    # ops.pallas_sampling.SampleKernelSpec (hashable dataclass) enabling
+    # the Pallas matmul-gather crop path; None = XLA quad-gather path
+    sampling_spec: Any = None
 
     @nn.compact
     def __call__(
@@ -76,9 +80,10 @@ class JointLocalizationNet(nn.Module):
         cams: jnp.ndarray,  # (B, V, 21)
         proposal_centers: jnp.ndarray,  # (B, K, 7) — treated as constant
         train: bool = False,
+        hm_packed: jnp.ndarray = None,  # (B, V, H, W*JP) when pallas
     ) -> JLNOutputs:
         geom = self.geom
-        B, V = quads.shape[0], quads.shape[1]
+        B, V = cams.shape[0], cams.shape[1]
         K = self.max_people
         J = self.num_joints
         vx, vy, vz = geom.ind_voxels_per_axis
@@ -94,11 +99,19 @@ class JointLocalizationNet(nn.Module):
         # (reference joint_localization_net.py:80-81).  The 64^3 cubes are
         # never materialized across people (see project_individual_planes).
         n = B * K
-        plane_xy, plane_xz, plane_yz = jax.vmap(
-            lambda q, cam, tl, bb, v: project_individual_planes(
-                geom, q, cam, tl, bb, v
-            )
-        )(quads, cams, centers_tl, bbox_sizes, mask)
+        if self.sampling_spec is not None:
+            spec = self.sampling_spec
+            plane_xy, plane_xz, plane_yz = jax.vmap(
+                lambda hp, cam, tl, bb, v: project_individual_planes_pallas(
+                    geom, hp, cam, tl, bb, v, spec
+                )
+            )(hm_packed, cams, centers_tl, bbox_sizes, mask)
+        else:
+            plane_xy, plane_xz, plane_yz = jax.vmap(
+                lambda q, cam, tl, bb, v: project_individual_planes(
+                    geom, q, cam, tl, bb, v
+                )
+            )(quads, cams, centers_tl, bbox_sizes, mask)
         plane_xy = plane_xy.reshape(n, vx, vy, J)
         plane_xz = plane_xz.reshape(n, vx, vz, J)
         plane_yz = plane_yz.reshape(n, vy, vz, J)

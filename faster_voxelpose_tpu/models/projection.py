@@ -221,6 +221,25 @@ def project_individual(
     vals = sample_and_mean_views_quad(quads, coords, h, w)  # (N, J)
     cube = vals.reshape(vx, vy, vz, -1)
 
+    m = crop_bbox_mask(geom, center_tl, bbox_size)
+    return cube * m[..., None].astype(cube.dtype)
+
+
+def crop_axis_masks(
+    geom: ProjectionGeometry, center_tl: jnp.ndarray, bbox_size: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-axis factors (mx (vx,), my (vy,), mz (vz,)) of the separable
+    crop mask zeroing voxels outside the predicted bbox or the capture
+    volume — the same start/end window the reference computes
+    (project_individual.py:114-121)."""
+    vx, vy, vz = geom.ind_voxels_per_axis
+    fine = jnp.asarray(geom.fine_voxels_per_axis, jnp.int32)
+    vox = jnp.asarray((vx, vy, vz), jnp.int32)
+
+    fx = center_tl[0] + jnp.arange(vx, dtype=jnp.int32)
+    fy = center_tl[1] + jnp.arange(vy, dtype=jnp.int32)
+    fz = center_tl[2] + jnp.arange(vz, dtype=jnp.int32)
+
     # bbox mask margin per xy axis (z margin fixed 0): reference
     # project_individual.py:114-117
     margin_xy = ((1.0 - bbox_size) / 2.0 * (vox[:2].astype(jnp.float32) - 1)).astype(
@@ -234,12 +253,15 @@ def project_individual(
     def axis_mask(f_idx, a):
         return (f_idx >= start[a]) & (f_idx < end[a])
 
-    m = (
-        axis_mask(fx, 0)[:, None, None]
-        & axis_mask(fy, 1)[None, :, None]
-        & axis_mask(fz, 2)[None, None, :]
-    )
-    return cube * m[..., None].astype(cube.dtype)
+    return axis_mask(fx, 0), axis_mask(fy, 1), axis_mask(fz, 2)
+
+
+def crop_bbox_mask(
+    geom: ProjectionGeometry, center_tl: jnp.ndarray, bbox_size: jnp.ndarray
+) -> jnp.ndarray:
+    """(vx, vy, vz) bool crop mask (see crop_axis_masks)."""
+    mx, my, mz = crop_axis_masks(geom, center_tl, bbox_size)
+    return mx[:, None, None] & my[None, :, None] & mz[None, None, :]
 
 
 def project_individual_people(
@@ -308,3 +330,145 @@ def project_individual_planes(
         return jax.lax.cond(args[2], compute, skip, args)
 
     return jax.lax.map(body, (centers_tl, bbox_sizes, valid))
+
+
+# ---------------------------------------------------------------------------
+# Pallas-kernel fast path (ops/pallas_sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def project_whole_pallas(
+    geom: ProjectionGeometry,
+    hm_packed: jnp.ndarray,  # (V, H, W*JP)
+    cams: jnp.ndarray,  # (V, 21)
+    spec,  # SampleKernelSpec with tile dividing the whole grid
+) -> jnp.ndarray:
+    """Pallas variant of project_whole: the static 80x80x20 world grid is
+    stored as a tile-ordered constant; per view it projects, samples via
+    the matmul-gather kernel and camera-averages.  Whole-space voxels are
+    less image-coherent than person crops (the grid spans the room, so
+    bins close to a camera project wide) — the whole-space spec therefore
+    uses small tiles with wide windows; bins closer than ~1m to a camera
+    may lose out-of-window corner contributions (quad path is the exact
+    fallback, see docs/DESIGN.md)."""
+    from ..ops.pallas_sampling import sample_tiles, tile_offsets_np, tiles_to_cube
+
+    vx, vy, vz = geom.voxels_per_axis
+    J = spec.num_joints
+    offs = tile_offsets_np((vx, vy, vz), spec.tile)  # (N, 3)
+    grid = geom.whole_grid.reshape(vx, vy, vz, 3)[
+        offs[:, 0], offs[:, 1], offs[:, 2]
+    ]  # static numpy fancy-index: tile-ordered world grid constant
+    pts = jnp.asarray(grid, jnp.float32)
+    rt = jnp.asarray(geom.resize_transform, jnp.float32)
+    w, h = geom.heatmap_size
+    s = spec.samples
+    nb = pts.shape[0] // s
+
+    def per_view(cam):
+        norm = project_to_norm_coords(
+            pts, cam, rt, geom.ori_image_size, geom.image_size,
+            geom.heatmap_size,
+        )
+        return (norm + 1.0) * 0.5 * jnp.asarray([w - 1, h - 1], jnp.float32)
+
+    pix = jax.vmap(per_view)(cams)  # (V, N, 2)
+    blocks = pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)  # (NB, V, 2, S)
+    vals = sample_tiles(hm_packed, blocks, spec)  # (NB, JP, S)
+    return tiles_to_cube(vals, (vx, vy, vz), spec.tile, J)
+
+
+def project_whole_batch_pallas(geom, hm_packed, cams, spec):
+    """(B, V, H, W*JP), (B, V, 21) -> (B, X, Y, Z, J)."""
+    return jax.vmap(
+        functools.partial(project_whole_pallas, geom, spec=spec)
+    )(hm_packed, cams)
+
+
+def project_individual_planes_pallas(
+    geom: ProjectionGeometry,
+    hm_packed: jnp.ndarray,  # (V, H, W*JP) from pack_heatmaps
+    cams: jnp.ndarray,  # (V, 21)
+    centers_tl: jnp.ndarray,  # (K, 3)
+    bbox_sizes: jnp.ndarray,  # (K, 2)
+    valid: Optional[jnp.ndarray],  # (K,) bool
+    spec,  # ops.pallas_sampling.SampleKernelSpec
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pallas-kernel variant of project_individual_planes: identical
+    semantics (crop world coords -> per-view bilinear sample -> camera
+    mean -> clamp -> bbox mask -> three orthographic max-projections),
+    but the 13.1M samples/frame run as dense MXU/VPU math instead of XLA
+    row gathers (~10x, see ops/pallas_sampling.py).
+
+    All K proposal slots go through ONE kernel launch (per-person
+    launches cost ~0.6ms each in pipeline warmup); undetected slots are
+    skipped inside the kernel via a validity scalar-prefetch, preserving
+    the detected-people cost scaling of the reference's valid-only loop.
+    The bbox mask and the three max-projections are applied directly in
+    tile-blocked layout (the mask is axis-separable), so the 64^3 cubes
+    are never materialized in natural order."""
+    from ..ops.pallas_sampling import sample_tiles, tile_offsets_np
+
+    vx, vy, vz = geom.ind_voxels_per_axis
+    tx, ty, tz = spec.tile
+    ntx, nty, ntz = vx // tx, vy // ty, vz // tz
+    J = spec.num_joints
+    jp = spec.jp
+    K = centers_tl.shape[0]
+
+    offs = jnp.asarray(
+        tile_offsets_np((vx, vy, vz), spec.tile), jnp.int32
+    )  # (N, 3) tile-blocked voxel order
+    n = offs.shape[0]
+    s = spec.samples
+    nb = n // s
+    # valid=None computes every slot unconditionally (no prefetch gating)
+    bvalid = None if valid is None else jnp.repeat(valid.astype(jnp.int32), nb)
+
+    fine = jnp.asarray(geom.fine_voxels_per_axis, jnp.float32)
+    space = jnp.asarray(geom.space_size, jnp.float32)
+    space_center = jnp.asarray(geom.space_center, jnp.float32)
+    fine_step = space / (fine - 1.0)
+    origin = space_center - space / 2.0
+    rt = jnp.asarray(geom.resize_transform, jnp.float32)
+    w, h = geom.heatmap_size
+
+    def person_coords(tl):
+        pts = origin + (tl[None, :] + offs).astype(jnp.float32) * fine_step
+
+        def per_view(cam):
+            norm = project_to_norm_coords(
+                pts, cam, rt, geom.ori_image_size, geom.image_size,
+                geom.heatmap_size,
+            )
+            # normalized [-1.1, 1.1] -> pixel frame (same clamp semantics
+            # as the quad path; out-of-image pixels weight to zero in the
+            # kernel's image-clipped windows)
+            return (norm + 1.0) * 0.5 * jnp.asarray(
+                [w - 1, h - 1], jnp.float32
+            )
+
+        pix = jax.vmap(per_view)(cams)  # (V, N, 2)
+        return pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)  # (nb,V,2,s)
+
+    blocks = jax.vmap(person_coords)(centers_tl).reshape(K * nb, -1, 2, s)
+    vals = sample_tiles(hm_packed, blocks, spec, valid=bvalid)  # (K*nb,JP,S)
+
+    # axis-separable bbox mask + max-projections in tile-blocked layout
+    mx, my, mz = jax.vmap(lambda tl, bb: crop_axis_masks(geom, tl, bb))(
+        centers_tl, bbox_sizes
+    )  # (K, vx), (K, vy), (K, vz)
+    v8 = vals.reshape(K, ntx, nty, ntz, jp, tx, ty, tz)
+    v8 = v8 * mx.reshape(K, ntx, 1, 1, 1, tx, 1, 1)
+    v8 = v8 * my.reshape(K, 1, nty, 1, 1, 1, ty, 1)
+    v8 = v8 * mz.reshape(K, 1, 1, ntz, 1, 1, 1, tz)
+
+    def plane(maxed, na, nb_, ta, tb):
+        # (K, na, nb_, jp, ta, tb) -> (K, na*ta, nb_*tb, J)
+        p = maxed.transpose(0, 1, 4, 2, 5, 3)
+        return p.reshape(K, na * ta, nb_ * tb, jp)[..., :J]
+
+    plane_xy = plane(jnp.max(v8, axis=(3, 7)), ntx, nty, tx, ty)
+    plane_xz = plane(jnp.max(v8, axis=(2, 6)), ntx, ntz, tx, tz)
+    plane_yz = plane(jnp.max(v8, axis=(1, 5)), nty, ntz, ty, tz)
+    return plane_xy, plane_xz, plane_yz

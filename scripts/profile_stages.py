@@ -1,0 +1,231 @@
+"""Stage-level timing of the inference pipeline on the real chip
+(scan-slope method).  Ablations: backbone / whole-projection+HDN heads /
+JLN planes / JLN heads+decode / full model."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def slope(run, args, n1=2, n2=10):
+    import jax
+    import jax.numpy as jnp
+
+    def timed(n):
+        import functools
+
+        @jax.jit
+        def wrapped(a):
+            def body(c, _):
+                out = run(jax.tree.map(lambda x: x + c * 1e-30, a))
+                ss = (jnp.sum(out) * 1e-30).astype(jnp.float32)
+                return ss, ss
+
+            _, o = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return o
+
+        np.asarray(wrapped(args))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(wrapped(args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(n2) - timed(n1)) / (n2 - n1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    stages = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
+
+    def want(tag):
+        return stages is None or tag in stages
+
+    from faster_voxelpose_tpu.config import load_config
+    from faster_voxelpose_tpu.geometry.example_rigs import dome_rig
+    from faster_voxelpose_tpu.models.faster_voxelpose import build_model
+    from faster_voxelpose_tpu.models.hdn import HumanDetectionNet
+    from faster_voxelpose_tpu.models.projection import (
+        compute_crop_origin,
+        make_projection_geometry,
+        project_individual_planes_pallas,
+        project_whole_batch,
+    )
+    from faster_voxelpose_tpu.ops.pallas_sampling import pack_heatmaps
+    from faster_voxelpose_tpu.ops.sampling import build_quad_table
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs/panoptic/jln64.yaml")
+    )
+    cfg.CAPTURE_SPEC.MIN_SCORE = -1.0
+    cfg.NETWORK.COMPUTE_DTYPE = "float32"
+    cfg.NETWORK.SAMPLING_BACKEND = "pallas"
+
+    V = cfg.DATASET.CAMERA_NUM
+    W, H = cfg.DATASET.HEATMAP_SIZE
+    J = cfg.DATASET.NUM_JOINTS
+    K = cfg.CAPTURE_SPEC.MAX_PEOPLE
+    rng = np.random.RandomState(0)
+    heatmaps = (rng.rand(1, V, H, W, J) * 0.5).astype(np.float32)
+    cams = dome_rig(1, V)
+    hm_d = jax.device_put(jnp.asarray(heatmaps))
+    cams_d = jax.device_put(jnp.asarray(cams))
+
+    model = build_model(cfg)
+    geom = model.geom
+    spec = model.sampling_spec
+    variables = model.init(jax.random.PRNGKey(0), heatmaps, cams, train=False)
+    print("spec:", spec, file=sys.stderr)
+
+    if want("1"):
+        t = slope(lambda a: jax.vmap(jax.vmap(build_quad_table))(a)[:, :, 0, 0, 0],
+                  hm_d)
+        print(f"quad-table build: {t*1e3:6.2f} ms")
+
+    # 2. whole-space projection (quad path)
+    def whole(a):
+        quads = jax.vmap(jax.vmap(build_quad_table))(a)
+        return project_whole_batch(geom, quads, cams_d)[:, 0, 0, 0, 0]
+
+    if want("2"):
+        print(f"whole-space projection (+quad build): {slope(whole, hm_d)*1e3:6.2f} ms")
+
+    # 3. full HDN
+    hdn = HumanDetectionNet(
+        geom=geom, max_people=K, min_score=cfg.CAPTURE_SPEC.MIN_SCORE,
+        dtype=jnp.float32,
+    )
+    hdn_vars = {"params": variables["params"]["hdn"],
+                "batch_stats": variables["batch_stats"]["hdn"]}
+
+    def hdn_fn(a):
+        quads = jax.vmap(jax.vmap(build_quad_table))(a)
+        out = hdn.apply(hdn_vars, quads, cams_d, False, mutable=False)
+        return out.proposal_centers
+
+    if want("3"):
+        print(f"HDN total (whole-proj + heads + decode): {slope(hdn_fn, hm_d)*1e3:6.2f} ms")
+
+    # 4. JLN plane projection alone (pallas), all K valid
+    centers = rng.uniform(-1200, 1200, (1, K, 3)).astype(np.float32)
+    centers[..., 2] = rng.uniform(600, 1100, (1, K))
+    tl, _ = compute_crop_origin(geom, jnp.asarray(centers))
+    bbox = jnp.asarray(rng.uniform(0.4, 0.9, (1, K, 2)).astype(np.float32))
+    valid = jnp.ones((1, K), bool)
+
+    def planes_fn(a):
+        hp = jax.vmap(lambda x: pack_heatmaps(x, spec))(a)
+        xy, xz, yz = jax.vmap(
+            lambda h, c, t_, b, v: project_individual_planes_pallas(
+                geom, h, c, t_, b, v, spec
+            )
+        )(hp, cams_d, tl, bbox, valid)
+        return xy[:, :, 0, 0, 0]
+
+    if want("4"):
+        print(f"JLN crop+max planes (pallas, K={K}): {slope(planes_fn, hm_d)*1e3:6.2f} ms")
+
+    # 4b. ablation: coords-only (projection math + block transpose, no kernel)
+    from faster_voxelpose_tpu.geometry.grids import project_to_norm_coords
+    from faster_voxelpose_tpu.ops.pallas_sampling import tile_offsets_np
+
+    offs = jnp.asarray(
+        tile_offsets_np(tuple(geom.ind_voxels_per_axis), spec.tile), jnp.int32
+    )
+    s = spec.samples
+    nb = offs.shape[0] // s
+    fine = jnp.asarray(geom.fine_voxels_per_axis, jnp.float32)
+    space = jnp.asarray(geom.space_size, jnp.float32)
+    sc = jnp.asarray(geom.space_center, jnp.float32)
+    step = space / (fine - 1.0)
+    org = sc - space / 2.0
+    rt = jnp.asarray(geom.resize_transform, jnp.float32)
+
+    def coords_fn(tl_arg):
+        def person(t_):
+            pts = org + (t_[None, :] + offs).astype(jnp.float32) * step
+
+            def pv(cam):
+                norm = project_to_norm_coords(
+                    pts, cam, rt, geom.ori_image_size, geom.image_size,
+                    geom.heatmap_size,
+                )
+                return (norm + 1.0) * 0.5 * jnp.asarray([W - 1, H - 1], jnp.float32)
+
+            pix = jax.vmap(pv)(cams_d[0])
+            return pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)
+
+        blocks = jax.lax.map(person, tl_arg)
+        return blocks[..., 0, 0, 0]
+
+    if want("4b"):
+        print(f"  ablation coords+transpose only: {slope(coords_fn, tl[0])*1e3:6.2f} ms")
+
+    # 4c. ablation: kernel-only on fixed coords
+    from faster_voxelpose_tpu.ops.pallas_sampling import sample_tiles
+
+    fixed_blocks = jax.device_put(
+        jnp.asarray(
+            np.concatenate(
+                [
+                    rng.uniform(0, W, (K * nb, V, 1, s)),
+                    rng.uniform(0, H, (K * nb, V, 1, s)),
+                ],
+                axis=2,
+            ).astype(np.float32)
+        )
+    )
+    hp_fixed = jax.vmap(lambda x: pack_heatmaps(x, spec))(hm_d)[0]
+
+    def kernel_fn(c):
+        return sample_tiles(hp_fixed, c, spec)[..., 0]
+
+    if want("4c"):
+        print(f"  ablation kernel only (K={K}): {slope(kernel_fn, fixed_blocks)*1e3:6.2f} ms")
+
+    # 4d. whole-space pallas
+    from faster_voxelpose_tpu.models.faster_voxelpose import (
+        resolve_whole_sampling_spec,
+    )
+    from faster_voxelpose_tpu.models.projection import project_whole_batch_pallas
+
+    wspec = resolve_whole_sampling_spec(cfg, spec)
+    print("whole spec:", wspec, file=sys.stderr)
+    if wspec is not None and want("5"):
+        def whole_pallas_fn(a):
+            hp = jax.vmap(lambda x: pack_heatmaps(x, spec))(a)
+            return project_whole_batch_pallas(geom, hp, cams_d, wspec)[:, 0, 0, 0, 0]
+
+        print(f"whole-space projection (pallas): {slope(whole_pallas_fn, hm_d)*1e3:6.2f} ms")
+
+        def whole_cmp(a):
+            quads = jax.vmap(jax.vmap(build_quad_table))(a)
+            ref = project_whole_batch(geom, quads, cams_d)
+            hp = jax.vmap(lambda x: pack_heatmaps(x, spec))(a)
+            ours = project_whole_batch_pallas(geom, hp, cams_d, wspec)
+            return jnp.max(jnp.abs(ref - ours))
+
+        d = float(jax.jit(whole_cmp)(hm_d))
+        print(f"whole-space pallas vs quad max|err|: {d:.2e}")
+
+    # 6. full model
+    if want("6"):
+        @jax.jit
+        def full(a):
+            out = model.apply(variables, a, cams_d, train=False, mutable=False)
+            return out.fused_poses[..., 0]
+
+        print(f"full model (heatmaps->poses): {slope(full, hm_d)*1e3:6.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,9 +32,10 @@ TINY = dict(
 )
 
 
-def build_our_config():
+def build_our_config(profile=None):
     from faster_voxelpose_tpu.config import Config
 
+    TINY = profile or globals()["TINY"]
     cfg = Config()
     cfg.DATASET.ORI_IMAGE_SIZE = TINY["ori_image_size"]
     cfg.DATASET.IMAGE_SIZE = TINY["image_size"]
@@ -61,8 +62,9 @@ class _NS:
         self.__dict__.update(kw)
 
 
-def build_ref_config():
+def build_ref_config(profile=None):
     """Attribute-compatible config namespace for the reference modules."""
+    TINY = profile or globals()["TINY"]
     return _NS(
         DEVICE="cpu",
         DATASET=_NS(
