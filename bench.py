@@ -31,8 +31,20 @@ BASELINE_FPS = 31.0  # paper-class single-GPU "real-time" throughput
 
 
 def main():
+    # persistent compile cache: the two scan-length compiles of the full
+    # pipeline dominate wall time through the remote-compile tunnel;
+    # repeat runs (driver reruns, tuning iterations) hit the cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from faster_voxelpose_tpu.config import load_config
     from faster_voxelpose_tpu.geometry.example_rigs import dome_rig

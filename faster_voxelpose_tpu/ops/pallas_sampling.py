@@ -65,6 +65,10 @@ class SampleKernelSpec:
     window_y: int = 40  # y window (MXU contraction; multiple of 8)
     exact: bool = False  # True: f32-exact MXU passes (HIGHEST)
     interpret: bool = False  # CPU interpreter (tests)
+    # bf16 VPU stage-2 (x interpolation): halves the dominant elementwise
+    # cost where the VPU packs bf16; numerically moot when exact=False
+    # (the MXU stage already rounds to bf16 products)
+    vpu_bf16: bool = False
 
     @property
     def jp(self) -> int:
@@ -147,8 +151,14 @@ def _compute_block(coords_ref, hm_ref, spec: SampleKernelSpec):
         )  # (XW*JP, S), rows x-major joint-minor
 
         # x interpolation: lane-parallel contraction over the narrow window
-        p3 = t.reshape(xw, jp, s) * wx[:, None, :]
-        acc = acc + jnp.sum(p3, axis=0)
+        if spec.vpu_bf16:
+            p3 = t.astype(jnp.bfloat16).reshape(xw, jp, s) * wx.astype(
+                jnp.bfloat16
+            )[:, None, :]
+            acc = acc + jnp.sum(p3, axis=0).astype(jnp.float32)
+        else:
+            p3 = t.reshape(xw, jp, s) * wx[:, None, :]
+            acc = acc + jnp.sum(p3, axis=0)
 
     return jnp.clip(acc * (1.0 / spec.n_views), 0.0, 1.0)
 

@@ -29,12 +29,24 @@ def create_logger(cfg, cfg_name: str, phase: str = "train") -> Tuple[logging.Log
     t = time.strftime("%Y-%m-%d-%H-%M")
     log_file = output_dir / f"{cfg_stem}_{t}_{phase}.log"
     head = "%(asctime)-15s %(message)s"
-    logging.basicConfig(filename=str(log_file), format=head, level=logging.INFO)
     logger = logging.getLogger()
     logger.setLevel(logging.INFO)
-    console = logging.StreamHandler()
-    console.setFormatter(logging.Formatter(head))
-    if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers[1:]):
+    # explicit handlers: logging.basicConfig would silently no-op when a
+    # library (absl/jax) already configured the root logger, losing the
+    # timestamped log file entirely
+    if not any(
+        isinstance(h, logging.FileHandler)
+        and getattr(h, "baseFilename", "") == str(log_file)
+        for h in logger.handlers
+    ):
+        fh = logging.FileHandler(str(log_file))
+        fh.setFormatter(logging.Formatter(head))
+        logger.addHandler(fh)
+    if not any(
+        type(h) is logging.StreamHandler for h in logger.handlers
+    ):
+        console = logging.StreamHandler()
+        console.setFormatter(logging.Formatter(head))
         logger.addHandler(console)
 
     scalar_dir = Path(cfg.LOG_DIR) / dataset / f"{cfg_stem}_{t}"

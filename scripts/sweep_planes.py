@@ -75,12 +75,15 @@ def main():
     valid = jnp.ones((K,), bool)
 
     variants = [
-        ("tile448_w2440_valid", dict(tile=(4, 4, 8), window_x=24, window_y=40), True),
-        ("tile448_w2440_novalid", dict(tile=(4, 4, 8), window_x=24, window_y=40), False),
-        ("tile4416_w2448", dict(tile=(4, 4, 16), window_x=24, window_y=48), True),
-        ("tile4416_w3248", dict(tile=(4, 4, 16), window_x=32, window_y=48), True),
-        ("tile884_w3232", dict(tile=(8, 8, 4), window_x=32, window_y=32), True),
-        ("tile888_w3240", dict(tile=(8, 8, 8), window_x=32, window_y=40), True),
+        ("t888_w4048 (default)", dict(tile=(8, 8, 8), window_x=40, window_y=48), True),
+        ("t888_w4048_bf16stage2", dict(tile=(8, 8, 8), window_x=40, window_y=48,
+                                       vpu_bf16=True), True),
+        ("t888_w3240_bf16stage2", dict(tile=(8, 8, 8), window_x=32, window_y=40,
+                                       vpu_bf16=True), True),
+        ("t8816_w4056_bf16", dict(tile=(8, 8, 16), window_x=40, window_y=56,
+                                  vpu_bf16=True), True),
+        ("t16168_w5648_bf16", dict(tile=(16, 16, 8), window_x=56, window_y=48,
+                                   vpu_bf16=True), True),
     ]
 
     for name, overrides, use_valid in variants:
