@@ -282,3 +282,15 @@ def save_config(cfg: Config, yaml_path: Union[str, pathlib.Path]) -> None:
 
     with open(yaml_path, "w") as f:
         yaml.safe_dump(to_plain(cfg), f, default_flow_style=False)
+
+
+def get_model_name(cfg: Config) -> Tuple[str, str]:
+    """(name, full_name) experiment identifiers
+    (reference get_model_name, lib/core/config.py:201-213)."""
+    name = f"{cfg.MODEL}_{cfg.RESNET.NUM_LAYERS}"
+    deconv_suffix = "".join(f"d{f}" for f in cfg.RESNET.NUM_DECONV_FILTERS)
+    full_name = (
+        f"{cfg.DATASET.IMAGE_SIZE[1]}x{cfg.DATASET.IMAGE_SIZE[0]}_"
+        f"{name}_{deconv_suffix}"
+    )
+    return name, full_name
