@@ -97,15 +97,16 @@ class NetworkConfig:
     PALLAS_EXACT: bool = False
     # run the kernel in the Pallas interpreter (CPU tests only)
     PALLAS_INTERPRET: bool = False
-    # whole-space (HDN) projection through the same kernel (3.3ms vs
-    # 7.2ms quad on v5e) — OFF by default: the room-spanning grid has
-    # bins close to cameras whose footprint exceeds any practical window
-    # (measured max err 0.18 on those bins), which could perturb
-    # detection.  Opt in when the capture layout keeps people >~1m from
-    # every camera and throughput matters more.
+    # whole-space (HDN) projection through the same kernel (2.2-4ms vs
+    # 7.2ms quad on v5e) — OFF by default: tiles that straddle a camera's
+    # image plane project across the whole clamped range, so bins at a
+    # view's frustum edge can lose that view's contribution (measured max
+    # err 0.15 on such bins; full-height y windows are exact in y).
+    # Detection peaks away from frustum edges are unaffected; opt in when
+    # throughput matters more than exactness at the scene periphery.
     PALLAS_WHOLE: bool = False
-    PALLAS_WHOLE_TILE: Tuple[int, int, int] = (4, 4, 4)
-    PALLAS_WHOLE_WINDOW: Tuple[int, int] = (64, 64)
+    PALLAS_WHOLE_TILE: Tuple[int, int, int] = (4, 4, 20)
+    PALLAS_WHOLE_WINDOW: Tuple[int, int] = (120, 1024)  # y: clipped to H
 
 
 @dataclass

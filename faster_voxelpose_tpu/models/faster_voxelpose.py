@@ -86,6 +86,9 @@ def resolve_whole_sampling_spec(cfg: Config, crop_spec):
         tile=tile,
         window_x=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[0]),
         window_y=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[1]),
+        # whole-space pillars mix in-front samples with behind-camera
+        # garbage; center-anchored windows keep the real cluster covered
+        anchor="center",
     )
 
 

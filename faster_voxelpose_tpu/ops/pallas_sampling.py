@@ -69,6 +69,13 @@ class SampleKernelSpec:
     # cost where the VPU packs bf16; numerically moot when exact=False
     # (the MXU stage already rounds to bf16 products)
     vpu_bf16: bool = False
+    # window anchoring: 'min' anchors at the tile's minimum coordinate
+    # (right for compact crop tiles); 'center' centers the window on the
+    # tile's middle sample — robust when a tile mixes in-front samples
+    # with behind-camera garbage whose clamped coords would otherwise
+    # drag a min-anchored window away from the real cluster (whole-space
+    # pillars)
+    anchor: str = "min"
 
     @property
     def jp(self) -> int:
@@ -82,6 +89,12 @@ class SampleKernelSpec:
         return tx * ty * tz
 
     @property
+    def padded_samples(self) -> int:
+        # Mosaic requires 128-aligned slice shapes on the lane (sample)
+        # dim; non-aligned tiles get edge-padded coords and a sliced output
+        return _round_up(self.samples, 128)
+
+    @property
     def xw(self) -> int:
         return min(self.window_x, _round_up(self.width, 8))
 
@@ -92,8 +105,8 @@ class SampleKernelSpec:
     def validate(self):
         if self.xw % 8 or self.yw % 8:
             raise ValueError("windows must be multiples of 8")
-        if self.samples % 8:
-            raise ValueError("tile sample count must be a multiple of 8")
+        if self.anchor not in ("min", "center"):
+            raise ValueError(f"unknown anchor mode {self.anchor!r}")
 
 
 def pack_heatmaps(heatmaps: jnp.ndarray, spec: SampleKernelSpec) -> jnp.ndarray:
@@ -110,7 +123,7 @@ def pack_heatmaps(heatmaps: jnp.ndarray, spec: SampleKernelSpec) -> jnp.ndarray:
 def _compute_block(coords_ref, hm_ref, spec: SampleKernelSpec):
     """The sampling math for one block: (V, 2, S) coords against the
     VMEM-resident heatmaps -> (JP, S) camera-averaged clamped samples."""
-    s = spec.samples
+    s = spec.padded_samples
     xw, yw, jp = spec.xw, spec.yw, spec.jp
     w, h = spec.width, spec.height
     precision = (
@@ -121,12 +134,18 @@ def _compute_block(coords_ref, hm_ref, spec: SampleKernelSpec):
     for v in range(spec.n_views):
         x = coords_ref[v, 0, :]
         y = coords_ref[v, 1, :]
-        # window origin: floor(min) quantized down to 8 (slice alignment),
-        # clipped into the image.  Coverage guarantee: every in-image
-        # pixel within distance 1 of any sample must fall in the window,
-        # i.e. per-tile pixel spread <= window - 9 (see tile_pixel_spread)
-        ox = jnp.clip(jnp.floor(jnp.min(x)), 0.0, float(w - xw)).astype(jnp.int32)
-        oy = jnp.clip(jnp.floor(jnp.min(y)), 0.0, float(h - yw)).astype(jnp.int32)
+        # window origin (quantized down to 8 for slice alignment, clipped
+        # into the image).  Coverage guarantee: every in-image pixel
+        # within distance 1 of any sample must fall in the window, i.e.
+        # per-tile pixel spread <= window - 9 (see tile_pixel_spread)
+        if spec.anchor == "min":
+            ax = jnp.floor(jnp.min(x))
+            ay = jnp.floor(jnp.min(y))
+        else:  # 'center': window centered on the tile's middle sample
+            ax = jnp.floor(x[spec.samples // 2]) - (xw // 2 - 8)
+            ay = jnp.floor(y[spec.samples // 2]) - (yw // 2 - 8)
+        ox = jnp.clip(ax, 0.0, float(w - xw)).astype(jnp.int32)
+        oy = jnp.clip(ay, 0.0, float(h - yw)).astype(jnp.int32)
         ox = pl.multiple_of((ox // 8) * 8, 8)
         oy = pl.multiple_of((oy // 8) * 8, 8)
 
@@ -180,7 +199,7 @@ def _kernel_body_valid(valid_ref, coords_ref, hm_ref, out_ref, *, spec):
 
     @pl.when(valid_ref[i] <= 0)
     def _():
-        out_ref[0] = jnp.zeros((spec.jp, spec.samples), jnp.float32)
+        out_ref[0] = jnp.zeros((spec.jp, spec.padded_samples), jnp.float32)
 
 
 def sample_tiles(
@@ -191,11 +210,18 @@ def sample_tiles(
 ) -> jnp.ndarray:  # (NB, JP, S)
     """Camera-averaged bilinear samples for NB tiles of S samples each."""
     spec.validate()
-    nb, V, _, s = coords.shape
+    nb, V, _, s_in = coords.shape
+    s = spec.padded_samples
+    if s_in != s:
+        # lane alignment: replicate the last sample into the pad columns
+        # (keeps window bounds untouched); output is sliced back below
+        coords = jnp.concatenate(
+            [coords, jnp.repeat(coords[..., -1:], s - s_in, axis=-1)], axis=-1
+        )
     out_shape = jax.ShapeDtypeStruct((nb, spec.jp, s), jnp.float32)
     if valid is None:
         kern = functools.partial(_kernel_body, spec=spec)
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kern,
             grid=(nb,),
             in_specs=[
@@ -211,28 +237,30 @@ def sample_tiles(
             out_shape=out_shape,
             interpret=spec.interpret,
         )(coords, hm_packed)
-
-    kern = functools.partial(_kernel_body_valid, spec=spec)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
+    else:
+        kern = functools.partial(_kernel_body_valid, spec=spec)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, spec.jp, s), lambda i, _v: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, spec.jp, s), lambda i, _v: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=spec.interpret,
-    )(valid.astype(jnp.int32), coords, hm_packed)
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=spec.interpret,
+        )(valid.astype(jnp.int32), coords, hm_packed)
+    return out[:, :, :s_in] if s_in != s else out
 
 
 # ---------------------------------------------------------------------------

@@ -83,7 +83,11 @@ def main():
     model = build_model(cfg)
     geom = model.geom
     spec = model.sampling_spec
-    variables = model.init(jax.random.PRNGKey(0), heatmaps, cams, train=False)
+    variables = None
+    if stages is None or stages & {"3", "6"}:
+        # full-model init compiles the whole forward — only pay it when a
+        # stage actually needs parameters
+        variables = model.init(jax.random.PRNGKey(0), heatmaps, cams, train=False)
     print("spec:", spec, file=sys.stderr)
 
     if want("1"):
@@ -100,19 +104,19 @@ def main():
         print(f"whole-space projection (+quad build): {slope(whole, hm_d)*1e3:6.2f} ms")
 
     # 3. full HDN
-    hdn = HumanDetectionNet(
-        geom=geom, max_people=K, min_score=cfg.CAPTURE_SPEC.MIN_SCORE,
-        dtype=jnp.float32,
-    )
-    hdn_vars = {"params": variables["params"]["hdn"],
-                "batch_stats": variables["batch_stats"]["hdn"]}
-
-    def hdn_fn(a):
-        quads = jax.vmap(jax.vmap(build_quad_table))(a)
-        out = hdn.apply(hdn_vars, quads, cams_d, False, mutable=False)
-        return out.proposal_centers
-
     if want("3"):
+        hdn = HumanDetectionNet(
+            geom=geom, max_people=K, min_score=cfg.CAPTURE_SPEC.MIN_SCORE,
+            dtype=jnp.float32,
+        )
+        hdn_vars = {"params": variables["params"]["hdn"],
+                    "batch_stats": variables["batch_stats"]["hdn"]}
+
+        def hdn_fn(a):
+            quads = jax.vmap(jax.vmap(build_quad_table))(a)
+            out = hdn.apply(hdn_vars, quads, cams_d, False, mutable=False)
+            return out.proposal_centers
+
         print(f"HDN total (whole-proj + heads + decode): {slope(hdn_fn, hm_d)*1e3:6.2f} ms")
 
     # 4. JLN plane projection alone (pallas), all K valid
@@ -198,6 +202,7 @@ def main():
     )
     from faster_voxelpose_tpu.models.projection import project_whole_batch_pallas
 
+    cfg.NETWORK.PALLAS_WHOLE = True
     wspec = resolve_whole_sampling_spec(cfg, spec)
     print("whole spec:", wspec, file=sys.stderr)
     if wspec is not None and want("5"):

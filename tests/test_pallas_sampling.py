@@ -193,3 +193,32 @@ def test_whole_projection_pallas_matches_quad():
     hm_packed = pack_heatmaps(jnp.asarray(hm), spec)
     ours = project_whole_pallas(geom, hm_packed, cams, spec)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=5e-6)
+
+
+@pytest.mark.parametrize("anchor", ["min", "center"])
+def test_padded_tile_and_anchor_modes(anchor):
+    """Tiles whose sample count is not 128-aligned get edge-padded lanes;
+    both window-anchor modes reproduce the reference bilinear."""
+    from faster_voxelpose_tpu.ops.pallas_sampling import sample_tiles
+
+    spec = _spec(tile=(4, 4, 4), anchor=anchor)  # 64 samples -> pad to 128
+    assert spec.padded_samples == 128
+    rng = np.random.RandomState(3)
+    hm = rng.rand(spec.n_views, spec.height, spec.width, spec.num_joints)
+    hm = hm.astype(np.float32)
+    nb, s = 5, spec.samples
+    centers = np.stack(
+        [
+            rng.uniform(-6, spec.width + 6, (nb, spec.n_views, 1)),
+            rng.uniform(-6, spec.height + 6, (nb, spec.n_views, 1)),
+        ],
+        axis=2,
+    )
+    coords = (centers + rng.uniform(-4, 4, (nb, spec.n_views, 2, s))).astype(
+        np.float32
+    )
+    hp = pack_heatmaps(jnp.asarray(hm), spec)
+    ours = np.asarray(sample_tiles(hp, jnp.asarray(coords), spec))
+    assert ours.shape == (nb, spec.jp, s)
+    ref = np.asarray(_xla_reference(jnp.asarray(hm), jnp.asarray(coords), spec))
+    np.testing.assert_allclose(ours, ref, atol=5e-6)
