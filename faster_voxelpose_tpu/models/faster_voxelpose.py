@@ -81,7 +81,7 @@ def resolve_whole_sampling_spec(cfg: Config, crop_spec):
     tile = tuple(cfg.NETWORK.PALLAS_WHOLE_TILE)
     if any(v % t for v, t in zip(cfg.CAPTURE_SPEC.VOXELS_PER_AXIS, tile)):
         return None
-    return dataclasses.replace(
+    spec = dataclasses.replace(
         crop_spec,
         tile=tile,
         window_x=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[0]),
@@ -90,6 +90,17 @@ def resolve_whole_sampling_spec(cfg: Config, crop_spec):
         # garbage; center-anchored windows keep the real cluster covered
         anchor="center",
     )
+    # VMEM working-set estimate: resident heatmaps + window slice + the
+    # stage-1 output (double-buffered).  Over ~14MB the Mosaic stack OOMs
+    # (observed at the 200x152 demo profile with 120-wide windows).
+    vmem = 4 * (
+        spec.n_views * spec.height * spec.width * spec.jp  # hm resident
+        + spec.yw * spec.xw * spec.jp  # window slice
+        + 2 * spec.xw * spec.jp * spec.padded_samples  # t intermediate
+    )
+    if vmem > 14 * 2**20:
+        return None
+    return spec
 
 
 class ModelOutputs(NamedTuple):

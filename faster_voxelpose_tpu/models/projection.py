@@ -345,12 +345,17 @@ def project_whole_pallas(
 ) -> jnp.ndarray:
     """Pallas variant of project_whole: the static 80x80x20 world grid is
     stored as a tile-ordered constant; per view it projects, samples via
-    the matmul-gather kernel and camera-averages.  Whole-space voxels are
-    less image-coherent than person crops (the grid spans the room, so
-    bins close to a camera project wide) — the whole-space spec therefore
-    uses small tiles with wide windows; bins closer than ~1m to a camera
-    may lose out-of-window corner contributions (quad path is the exact
-    fallback, see docs/DESIGN.md)."""
+    the matmul-gather kernel and camera-averages.
+
+    Behind-camera samples (depth <= 0) project to wrapped, physically
+    meaningless pixel coordinates; the reference grid_samples that
+    garbage, here they are substituted with the tile's deepest in-front
+    sample's coordinate so a tile straddling a camera's image plane keeps
+    its window on the real cluster (the substituted contributions are
+    meaningless in both frameworks — documented deviation).  Remaining
+    inexactness: in-front bins closer than ~1m to a camera can still
+    exceed the window in that view (docs/DESIGN.md); quad is the exact
+    fallback."""
     from ..ops.pallas_sampling import sample_tiles, tile_offsets_np, tiles_to_cube
 
     vx, vy, vz = geom.voxels_per_axis
@@ -370,7 +375,18 @@ def project_whole_pallas(
             pts, cam, rt, geom.ori_image_size, geom.image_size,
             geom.heatmap_size,
         )
-        return (norm + 1.0) * 0.5 * jnp.asarray([w - 1, h - 1], jnp.float32)
+        pix = (norm + 1.0) * 0.5 * jnp.asarray([w - 1, h - 1], jnp.float32)
+        # camera-frame depth of every sample (packed cam: R rows 0:9, T 9:12)
+        R2 = cam[6:9]
+        T = cam[9:12]
+        depth = (pts - T[None, :]) @ R2  # (N,)
+        pix_t = pix.reshape(nb, s, 2)
+        depth_t = depth.reshape(nb, s)
+        rep = jnp.take_along_axis(
+            pix_t, jnp.argmax(depth_t, axis=1)[:, None, None], axis=1
+        )  # (nb, 1, 2): the deepest (most in-front) sample per tile
+        fixed = jnp.where(depth_t[..., None] > 1.0, pix_t, rep)
+        return fixed.reshape(-1, 2)
 
     pix = jax.vmap(per_view)(cams)  # (V, N, 2)
     blocks = pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)  # (NB, V, 2, S)

@@ -1,0 +1,110 @@
+"""Realistic-load throughput: heatmaps -> poses with a TRAINED detector
+at the default MIN_SCORE, on synthetic scenes with a known person count.
+
+The headline bench (bench.py) forces all MAX_PEOPLE=10 proposal slots
+valid — a worst case the paper's ~31 fps baseline never pays (real
+scenes have <=4-5 people and the JLN cost scales with detections, both
+here via the kernel validity skip and in the reference via its
+valid-only loop).  This script measures the apples-to-apples regime:
+train the demo profile first (run/train.py --cfg configs/demo/synthetic.yaml
+--epochs 8 --num-data 512), then run this.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from faster_voxelpose_tpu.config import load_config
+    from faster_voxelpose_tpu.datasets import get_dataset
+    from faster_voxelpose_tpu.engine.checkpoint import load_best_model
+    from faster_voxelpose_tpu.models.faster_voxelpose import build_model
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs/demo/synthetic.yaml")
+    )
+    model = build_model(cfg)
+    print("spec:", model.sampling_spec, file=sys.stderr)
+
+    ds = get_dataset(cfg.DATASET.TEST_DATASET)(cfg, is_train=False)
+    n_frames = 24
+    samples = [ds[i] for i in range(n_frames)]
+    heatmaps = np.stack([s["input_heatmaps"] for s in samples])
+    cams = np.stack([s["cameras"] for s in samples])
+    true_people = float(np.mean([int(s["num_person"]) for s in samples]))
+
+    V = cfg.DATASET.CAMERA_NUM
+    W, H = cfg.DATASET.HEATMAP_SIZE
+    J = cfg.DATASET.NUM_JOINTS
+    template = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, V, H, W, J), np.float32),
+        cams[:1],
+        train=False,
+    )
+    output_dir = os.path.join(
+        cfg.OUTPUT_DIR, cfg.DATASET.TEST_DATASET, "synthetic"
+    )
+    variables = load_best_model(output_dir, template)
+    print(f"=> loaded {output_dir}", file=sys.stderr)
+
+    @jax.jit
+    def fwd(variables, hm, cam):
+        out = model.apply(variables, hm, cam, train=False, mutable=False)
+        return out.fused_poses, out.proposal_centers
+
+    # detection statistics at the default MIN_SCORE
+    _, centers = jax.block_until_ready(
+        fwd(variables, heatmaps[:8], cams[:8])
+    )
+    det = (np.asarray(centers)[:, :, 3] >= 0).sum(1)
+    print(
+        f"scenes: true people/frame {true_people:.2f}, "
+        f"detected/frame {det.mean():.2f} (MIN_SCORE={cfg.CAPTURE_SPEC.MIN_SCORE})"
+    )
+
+    def timed_run(F):
+        frames = jnp.asarray(heatmaps[:F])
+        fcams = jnp.asarray(cams[:F])
+
+        @jax.jit
+        def run(frames, fcams):
+            def body(c, xs):
+                hm, cam = xs
+                fused, _ = fwd(variables, hm[None] + c * 1e-30, cam[None])
+                ss = (jnp.sum(fused[..., :1]) * 1e-30).astype(jnp.float32)
+                return ss, ss
+
+            _, o = jax.lax.scan(body, jnp.float32(0.0), (frames, fcams))
+            return o
+
+        np.asarray(run(frames, fcams))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(frames, fcams))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed_run(3), timed_run(18)
+    per_frame = (t2 - t1) / 15
+    print(
+        f"realistic-load heatmaps->poses: {per_frame*1e3:.1f} ms/frame "
+        f"({1/per_frame:.1f} fps) at {det.mean():.1f} detected people"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -87,14 +87,21 @@ def main():
             dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=False,
                  COMPUTE_DTYPE="bfloat16"),
         ),
+        # whole-space projection through the kernel too (detection impact
+        # of the frustum-shell deviation)
+        (
+            "pallas_whole",
+            dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=False,
+                 PALLAS_WHOLE=True),
+        ),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     if only:
         variants = [v for v in variants if v[0] in only[0].split(",")]
     defaults = dict(
         SAMPLING_BACKEND="quad", PALLAS_EXACT=False,
-        PALLAS_WINDOW=(24, 40), PALLAS_TILE=(4, 4, 8),
-        COMPUTE_DTYPE="float32",
+        PALLAS_WINDOW=(40, 48), PALLAS_TILE=(8, 8, 8),
+        PALLAS_WHOLE=False, COMPUTE_DTYPE="float32",
     )
     variables = None
     for name, overrides in variants:
