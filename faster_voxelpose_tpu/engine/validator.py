@@ -56,11 +56,14 @@ def run_validation(
     image_loader=None,
 ):
     """Full-dataset eval; returns (metric, message, preds (N,K,J,5))."""
+    from ..utils.profiling import StepTimer
+
     bs = batch_size or cfg.TEST.BATCH_SIZE
     n = len(dataset)
     eval_step = make_eval_step(cfg, model, backbone)
 
     all_preds = []
+    timer = StepTimer()
     t0 = time.time()
     for start in range(0, n, bs):
         idxs = list(range(start, min(start + bs, n)))
@@ -68,13 +71,17 @@ def run_validation(
         samples = [dataset[i] for i in idxs]
         batch = collate(samples + [samples[-1]] * pad)
 
-        if backbone is None:
-            preds = eval_step(variables, batch["input_heatmaps"], batch["cameras"])
-        else:
-            images = image_loader(idxs + [idxs[-1]] * pad)
-            preds = eval_step(variables, backbone_vars, images, batch["cameras"])
-
-        preds = np.asarray(preds)
+        with timer.step() as _:
+            if backbone is None:
+                preds = eval_step(
+                    variables, batch["input_heatmaps"], batch["cameras"]
+                )
+            else:
+                images = image_loader(idxs + [idxs[-1]] * pad)
+                preds = eval_step(
+                    variables, backbone_vars, images, batch["cameras"]
+                )
+            preds = np.asarray(preds)
         if pad:
             preds = preds[: len(idxs)]
         all_preds.append(preds)
@@ -82,7 +89,8 @@ def run_validation(
     preds = np.concatenate(all_preds, axis=0)
     dt = time.time() - t0
     logger.info(
-        "validated %d frames in %.1fs (%.1f frames/s)", n, dt, n / max(dt, 1e-9)
+        "validated %d frames in %.1fs (%.1f frames/s); device %s",
+        n, dt, n / max(dt, 1e-9), timer.summary(),
     )
     metric, msg = dataset.evaluate(preds)
     logger.info("\n%s", msg)

@@ -26,6 +26,13 @@ def parse_args():
         default=None,
         help="evaluate a reference PyTorch checkpoint (model_best.pth.tar)",
     )
+    p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the eval loop into DIR "
+        "(viewable in TensorBoard/Perfetto)",
+    )
     return p.parse_args()
 
 
@@ -95,10 +102,16 @@ def main():
                 ]
             )
 
-    metric, msg, preds = run_validation(
-        cfg, model, variables, test_ds,
-        backbone=backbone, backbone_vars=backbone_vars, image_loader=image_loader,
-    )
+    from faster_voxelpose_tpu.utils.profiling import trace
+
+    with trace(args.profile):
+        metric, msg, preds = run_validation(
+            cfg, model, variables, test_ds,
+            backbone=backbone, backbone_vars=backbone_vars,
+            image_loader=image_loader,
+        )
+    if args.profile:
+        logger.info("wrote profiler trace to %s", args.profile)
     print(msg)
     print(f"metric: {metric:.4f}")
 
