@@ -85,11 +85,13 @@ class NetworkConfig:
     #   'auto'   — pallas when running on TPU and the shapes allow it
     SAMPLING_BACKEND: str = "auto"
     # pallas kernel tuning: voxel tile per kernel block and the heatmap
-    # window (x, y) it samples from.  Exactness requires each tile's
-    # pixel footprint to fit the window minus a 9px alignment margin
-    # (ops/pallas_sampling.py:tile_pixel_spread).  Defaults swept on v5e
+    # window (x, y) it samples from.  The kernel is exact for ANY window
+    # size: tiles whose pixel footprint fits the window minus a 9px
+    # alignment margin take the single-window fast path, the rest fall
+    # back in-kernel to an exact full-image cover loop — windows are a
+    # pure speed knob (ops/pallas_sampling.py).  Defaults swept on v5e
     # (scripts/sweep_planes.py): large tiles amortize per-block fixed
-    # costs; the wide windows keep coverage down to ~2m camera distance.
+    # costs; the windows keep the fast path down to ~2m camera distance.
     PALLAS_TILE: Tuple[int, int, int] = (8, 8, 8)
     PALLAS_WINDOW: Tuple[int, int] = (40, 48)
     # f32-exact MXU passes (3x slower sampling); DEFAULT bf16 passes err
@@ -97,16 +99,17 @@ class NetworkConfig:
     PALLAS_EXACT: bool = False
     # run the kernel in the Pallas interpreter (CPU tests only)
     PALLAS_INTERPRET: bool = False
-    # whole-space (HDN) projection through the same kernel (2.2-4ms vs
-    # 7.2ms quad on v5e) — OFF by default: tiles that straddle a camera's
-    # image plane project across the whole clamped range, so bins at a
-    # view's frustum edge can lose that view's contribution (measured max
-    # err 0.15 on such bins; full-height y windows are exact in y).
-    # Detection peaks away from frustum edges are unaffected; opt in when
-    # throughput matters more than exactness at the scene periphery.
-    PALLAS_WHOLE: bool = False
+    # whole-space (HDN) projection through the same kernel (vs ~7.2ms
+    # quad on v5e).  ON by default since round 3: the full-cover slow
+    # path makes near-camera / frustum-edge bins exact, so this is a pure
+    # speedup (and the per-frame quad tables disappear entirely when both
+    # stages run through the kernel).
+    PALLAS_WHOLE: bool = True
     PALLAS_WHOLE_TILE: Tuple[int, int, int] = (4, 4, 20)
-    PALLAS_WHOLE_WINDOW: Tuple[int, int] = (120, 1024)  # y: clipped to H
+    # x window 64 keeps the kernel VMEM working set under the Mosaic
+    # budget at the 240x128 Panoptic profile (the t intermediate scales
+    # with xw); tiles that exceed it just take the exact cover loop
+    PALLAS_WHOLE_WINDOW: Tuple[int, int] = (64, 1024)  # y: clipped to Hp
 
 
 @dataclass

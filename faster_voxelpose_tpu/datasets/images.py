@@ -59,3 +59,10 @@ def load_view_images(
 def normalize_image(img: np.ndarray) -> np.ndarray:
     """uint8 HWC RGB -> float32 HWC, ImageNet-normalized."""
     return (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def denormalize_images(imgs: np.ndarray) -> np.ndarray:
+    """Invert normalize_image for visualization: float32 (..., H, W, 3)
+    -> uint8 HWC frames."""
+    out = (imgs * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+    return np.clip(out, 0, 255).astype(np.uint8)

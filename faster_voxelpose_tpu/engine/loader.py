@@ -84,19 +84,26 @@ class DataLoader:
 
     def _host_order(self) -> np.ndarray:
         """This host's record indices: seeded global permutation, strided
-        slice per process (disjoint across hosts by construction)."""
+        slice per process (disjoint across hosts by construction).
+
+        Every host is truncated to the SAME record count
+        (len(dataset) // process_count): strided slices differ in length
+        by one, and in SPMD pod training a host with one extra batch
+        would execute one extra collective step and deadlock the pod.
+        The dropped remainder (< process_count records per epoch) lands
+        on different records each shuffled epoch."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
         if self.process_count > 1:
-            order = order[self.process_index :: self.process_count]
+            per_host = len(order) // self.process_count
+            order = order[self.process_index :: self.process_count][:per_host]
         return order
 
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.process_count > 1:
-            # records this host owns (strided slice length)
-            n = (n - self.process_index + self.process_count - 1) // self.process_count
+            n = n // self.process_count  # equal on every host (see above)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -17,7 +17,6 @@ import jax
 import numpy as np
 
 from ..config import Config
-from ..datasets.base import collate
 
 logger = logging.getLogger(__name__)
 
@@ -54,42 +53,64 @@ def run_validation(
     backbone_vars=None,
     batch_size: Optional[int] = None,
     image_loader=None,
+    dataset_factory=None,
+    num_workers: Optional[int] = None,
 ):
-    """Full-dataset eval; returns (metric, message, preds (N,K,J,5))."""
+    """Full-dataset eval; returns (metric, message, preds (N,K,J,5)).
+
+    Sample rendering runs through the same worker-pool DataLoader +
+    device prefetch the train loop uses (the reference validates through
+    an 8-worker torch DataLoader too, run/validate.py:47-59): pass
+    dataset_factory to enable cfg.WORKERS render processes; without it
+    rendering stays on the main thread but transfers still overlap
+    compute via the prefetch thread."""
     from ..utils.profiling import StepTimer
+    from .loader import DataLoader, prefetch_to_device
 
     bs = batch_size or cfg.TEST.BATCH_SIZE
     n = len(dataset)
     eval_step = make_eval_step(cfg, model, backbone)
 
+    workers = (cfg.WORKERS if num_workers is None else num_workers) if (
+        dataset_factory is not None
+    ) else 0
+    loader = DataLoader(
+        dataset, bs, shuffle=False, drop_last=False,
+        num_workers=workers, dataset_factory=dataset_factory,
+    )
+
     all_preds = []
     timer = StepTimer()
     t0 = time.time()
-    for start in range(0, n, bs):
-        idxs = list(range(start, min(start + bs, n)))
-        pad = bs - len(idxs)
-        samples = [dataset[i] for i in idxs]
-        batch = collate(samples + [samples[-1]] * pad)
-
-        with timer.step() as _:
-            if backbone is None:
-                preds = eval_step(
-                    variables, batch["input_heatmaps"], batch["cameras"]
-                )
-            else:
-                images = image_loader(idxs + [idxs[-1]] * pad)
-                preds = eval_step(
-                    variables, backbone_vars, images, batch["cameras"]
-                )
-            preds = np.asarray(preds)
-        if pad:
-            preds = preds[: len(idxs)]
-        all_preds.append(preds)
+    try:
+        for bi, batch in enumerate(prefetch_to_device(iter(loader))):
+            # eval order is sequential and unshuffled: batch bi covers
+            # records [bi*bs, min((bi+1)*bs, n)) (tail padded by loader)
+            idxs = list(range(bi * bs, min((bi + 1) * bs, n)))
+            pad = bs - len(idxs)
+            with timer.step() as st:
+                if backbone is None:
+                    preds_dev = eval_step(
+                        variables, batch["input_heatmaps"], batch["cameras"]
+                    )
+                else:
+                    images = image_loader(idxs + [idxs[-1]] * pad)
+                    preds_dev = eval_step(
+                        variables, backbone_vars, images, batch["cameras"]
+                    )
+                st.set(preds_dev)
+            # fetch outside the timed section so host_s is dispatch-only
+            preds = np.asarray(preds_dev)
+            if pad:
+                preds = preds[: len(idxs)]
+            all_preds.append(preds)
+    finally:
+        loader.close()
 
     preds = np.concatenate(all_preds, axis=0)
     dt = time.time() - t0
     logger.info(
-        "validated %d frames in %.1fs (%.1f frames/s); device %s",
+        "validated %d frames in %.1fs (%.1f frames/s); %s",
         n, dt, n / max(dt, 1e-9), timer.summary(),
     )
     metric, msg = dataset.evaluate(preds)

@@ -26,8 +26,10 @@ from .projection import ProjectionGeometry, make_projection_geometry
 
 def resolve_sampling_spec(cfg: Config):
     """Pick the bilinear-sampling backend: a SampleKernelSpec when the
-    Pallas kernel applies (TPU backend or interpreter forced, J <= 16,
-    heatmaps fit VMEM, tile divides the crop), else None (quad path)."""
+    Pallas kernel applies (TPU backend, or the interpreter forced; one
+    16-joint heatmap group fits VMEM; tile divides the crop), else None
+    (quad path).  The kernel itself is exact for any rig/coordinates
+    (ops/pallas_sampling.py), so no geometric precondition is needed."""
     import jax
 
     from ..ops.pallas_sampling import SampleKernelSpec
@@ -36,7 +38,17 @@ def resolve_sampling_spec(cfg: Config):
     if backend == "quad":
         return None
     interpret = bool(cfg.NETWORK.PALLAS_INTERPRET)
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # the kernel is Mosaic (TPU-only): 'auto' requires an actual TPU —
+    # never a GPU/CPU — unless the interpreter is forced (tests).  The
+    # chip may sit behind a plugin whose platform name is not 'tpu'
+    # (e.g. the axon remote tunnel), so also accept a TPU device_kind.
+    name = jax.default_backend()
+    on_tpu = name == "tpu"
+    if not on_tpu and name not in ("cpu", "gpu", "cuda", "rocm"):
+        try:
+            on_tpu = "tpu" in jax.devices()[0].device_kind.lower()
+        except Exception:
+            on_tpu = False
     if backend == "auto" and not (on_tpu or interpret):
         return None
 
@@ -55,9 +67,10 @@ def resolve_sampling_spec(cfg: Config):
         exact=bool(cfg.NETWORK.PALLAS_EXACT),
         interpret=interpret and not on_tpu,
     )
+    # one joint group's packed heatmaps must be VMEM-resident per launch
+    # (the bound is independent of J: extra joints become extra groups)
     ok = (
-        J <= 16
-        and V * H * W * spec.jp * 4 <= 12 * 2**20  # heatmaps must fit VMEM
+        V * spec.hp * spec.wp * spec.jp * 4 <= 12 * 2**20
         and all(v % t == 0 for v, t in zip(cfg.INDIVIDUAL_SPEC.VOXELS_PER_AXIS, tile))
     )
     if not ok:
@@ -86,15 +99,12 @@ def resolve_whole_sampling_spec(cfg: Config, crop_spec):
         tile=tile,
         window_x=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[0]),
         window_y=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[1]),
-        # whole-space pillars mix in-front samples with behind-camera
-        # garbage; center-anchored windows keep the real cluster covered
-        anchor="center",
     )
-    # VMEM working-set estimate: resident heatmaps + window slice + the
-    # stage-1 output (double-buffered).  Over ~14MB the Mosaic stack OOMs
-    # (observed at the 200x152 demo profile with 120-wide windows).
+    # VMEM working-set estimate: resident heatmap group + window slice +
+    # the stage-1 output (double-buffered).  Over ~14MB the Mosaic stack
+    # OOMs (observed at the 200x152 demo profile with 120-wide windows).
     vmem = 4 * (
-        spec.n_views * spec.height * spec.width * spec.jp  # hm resident
+        spec.n_views * spec.hp * spec.wp * spec.jp  # hm group resident
         + spec.yw * spec.xw * spec.jp  # window slice
         + 2 * spec.xw * spec.jp * spec.padded_samples  # t intermediate
     )

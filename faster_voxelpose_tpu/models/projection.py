@@ -339,7 +339,7 @@ def project_individual_planes(
 
 def project_whole_pallas(
     geom: ProjectionGeometry,
-    hm_packed: jnp.ndarray,  # (V, H, W*JP)
+    hm_packed: jnp.ndarray,  # (G, V, Hp, Wp*JP)
     cams: jnp.ndarray,  # (V, 21)
     spec,  # SampleKernelSpec with tile dividing the whole grid
 ) -> jnp.ndarray:
@@ -347,15 +347,13 @@ def project_whole_pallas(
     stored as a tile-ordered constant; per view it projects, samples via
     the matmul-gather kernel and camera-averages.
 
-    Behind-camera samples (depth <= 0) project to wrapped, physically
-    meaningless pixel coordinates; the reference grid_samples that
-    garbage, here they are substituted with the tile's deepest in-front
-    sample's coordinate so a tile straddling a camera's image plane keeps
-    its window on the real cluster (the substituted contributions are
-    meaningless in both frameworks — documented deviation).  Remaining
-    inexactness: in-front bins closer than ~1m to a camera can still
-    exceed the window in that view (docs/DESIGN.md); quad is the exact
-    fallback."""
+    The pixel coordinates are byte-identical to the quad path's
+    (project_to_norm_coords, including the [-1.1, 1.1] clamp that also
+    bounds behind-camera garbage), and the kernel is exact for any
+    coordinates (tiles whose footprint exceeds the anchored window —
+    bins near a camera, image-plane-straddling pillars — take the
+    in-kernel full-cover path), so this path matches the quad/reference
+    output everywhere (reference project_whole.py:49-88)."""
     from ..ops.pallas_sampling import sample_tiles, tile_offsets_np, tiles_to_cube
 
     vx, vy, vz = geom.voxels_per_axis
@@ -375,22 +373,11 @@ def project_whole_pallas(
             pts, cam, rt, geom.ori_image_size, geom.image_size,
             geom.heatmap_size,
         )
-        pix = (norm + 1.0) * 0.5 * jnp.asarray([w - 1, h - 1], jnp.float32)
-        # camera-frame depth of every sample (packed cam: R rows 0:9, T 9:12)
-        R2 = cam[6:9]
-        T = cam[9:12]
-        depth = (pts - T[None, :]) @ R2  # (N,)
-        pix_t = pix.reshape(nb, s, 2)
-        depth_t = depth.reshape(nb, s)
-        rep = jnp.take_along_axis(
-            pix_t, jnp.argmax(depth_t, axis=1)[:, None, None], axis=1
-        )  # (nb, 1, 2): the deepest (most in-front) sample per tile
-        fixed = jnp.where(depth_t[..., None] > 1.0, pix_t, rep)
-        return fixed.reshape(-1, 2)
+        return (norm + 1.0) * 0.5 * jnp.asarray([w - 1, h - 1], jnp.float32)
 
     pix = jax.vmap(per_view)(cams)  # (V, N, 2)
     blocks = pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)  # (NB, V, 2, S)
-    vals = sample_tiles(hm_packed, blocks, spec)  # (NB, JP, S)
+    vals = sample_tiles(hm_packed, blocks, spec)  # (NB, JP_TOTAL, S)
     return tiles_to_cube(vals, (vx, vy, vz), spec.tile, J)
 
 
@@ -403,7 +390,7 @@ def project_whole_batch_pallas(geom, hm_packed, cams, spec):
 
 def project_individual_planes_pallas(
     geom: ProjectionGeometry,
-    hm_packed: jnp.ndarray,  # (V, H, W*JP) from pack_heatmaps
+    hm_packed: jnp.ndarray,  # (G, V, Hp, Wp*JP) from pack_heatmaps
     cams: jnp.ndarray,  # (V, 21)
     centers_tl: jnp.ndarray,  # (K, 3)
     bbox_sizes: jnp.ndarray,  # (K, 2)
@@ -429,7 +416,7 @@ def project_individual_planes_pallas(
     tx, ty, tz = spec.tile
     ntx, nty, ntz = vx // tx, vy // ty, vz // tz
     J = spec.num_joints
-    jp = spec.jp
+    jp = spec.jp_total
     K = centers_tl.shape[0]
 
     offs = jnp.asarray(

@@ -1,12 +1,12 @@
 """Pallas TPU kernel for multi-view bilinear heatmap sampling.
 
 This replaces the XLA gather fast-path (ops/sampling.py quad tables) on
-the JLN hot loop.  The XLA gather engine issues ~1 row gather / 10ns, so
-the 13.1M samples/frame of the Panoptic-profile JLN cost 145ms with the
-MXU idle (docs/DESIGN.md).  This kernel reformulates the gather as dense
-math with NO per-element gathers:
+the projection hot loops.  The XLA gather engine issues ~1 row gather /
+10ns, so the 13.1M samples/frame of the Panoptic-profile JLN cost 145ms
+with the MXU idle (docs/DESIGN.md).  This kernel reformulates the gather
+as dense math with NO per-element gathers:
 
-* crop voxels are processed in TILES (e.g. 4x4x8 voxels = 128 samples)
+* sample points are processed in TILES (e.g. 8x8x8 voxels = 512 samples)
   whose image footprint is a compact window — voxel neighborhoods project
   to pixel neighborhoods;
 * per (tile, view), a window of the heatmap is dynamically sliced from a
@@ -15,24 +15,40 @@ math with NO per-element gathers:
 * the y interpolation is ONE MXU matmul: a dense (YW, S) distance-weight
   matrix  wy[yi, s] = max(0, 1 - |y_s - yi|)  contracted against the
   window — K-dim padding makes a tall y window nearly free;
-* the x interpolation is a lane-parallel VPU contraction over the narrow
-  x window;
-* the camera mean + clamp is accumulated across views in-registers.
+* the x interpolation multiplies the narrow x window by per-sample
+  weights on the VPU and reduces over x with a second MXU matmul against
+  a constant 0/1 joint-selector matrix (the adds ride the MXU, only the
+  multiplies stay on the VPU);
+* the camera mean + clamp is accumulated across views into the output.
 
-Distance-form weights over an image-clipped window reproduce
-grid_sample(align_corners=True, padding_mode='zeros') exactly: out-of-
-image corners fall outside every window and contribute zero, in-image
-corners within distance 1 get their bilinear weight (bit-checked against
-torch semantics in tests/test_pallas_sampling.py and on-chip by
-scripts/probe_pallas.py: max err 2.4e-7 at HIGHEST precision).
+EXACTNESS (round 3): distance-form weights over an image-clipped window
+reproduce grid_sample(align_corners=True, padding_mode='zeros') exactly
+for every sample whose in-image pixel support lies inside the window.
+Each (tile, view) checks that condition IN-KERNEL against its anchored
+window; tiles that fail (bins close to a camera, behind-camera garbage
+coordinates that land in-image) take a slow path that accumulates over a
+static set of disjoint windows tiling the full padded image, with
+coverage masks zeroing the overlap of the final window.  Every pixel of
+the image is therefore weighted exactly once for every sample, for ANY
+coordinates — the kernel is exact everywhere, at fast-path cost for the
+overwhelmingly common compact tiles.  (Out-of-image support contributes
+zero through the weights and the zero-padded H/W margins, which is
+precisely torch zeros-padding semantics — bit-checked against torch in
+tests/test_pallas_sampling.py.)
 
-Precision: Mosaic supports DEFAULT (bf16 MXU passes, ~1.8e-3 abs error,
-1.08 ns/sample measured on v5e) and HIGHEST (f32-exact, 3.3 ns/sample).
-DEFAULT's error is below the production conv stack's own bf16 compute
-noise; parity tests pin exact=True.
+JOINT CAPACITY: lane packing requires the per-call joint dimension to be
+a multiple of 16 (slice alignment), so heatmaps are packed into GROUPS of
+16 joints and the kernel runs once per group (COCO-17 => 2 groups).  Each
+group's packed heatmaps must individually fit VMEM; the VMEM bound is
+thus independent of the joint count.
+
+Precision: Mosaic supports DEFAULT (bf16 MXU passes, ~1.8e-3 abs error)
+and HIGHEST (f32-exact) — exact=True pins HIGHEST + f32 VPU math and is
+what parity tests use.
 
 Reference behaviour replaced: lib/models/project_individual.py:124-131
-(per-person grid_sample loop).
+(per-person grid_sample loop) and lib/models/project_whole.py:71-88
+(whole-space grid_sample loop).
 """
 
 from __future__ import annotations
@@ -57,31 +73,44 @@ class SampleKernelSpec:
     """Static shape/tuning parameters of one kernel instantiation."""
 
     n_views: int
-    height: int  # heatmap H
-    width: int  # heatmap W
-    num_joints: int
-    tile: Tuple[int, int, int] = (4, 4, 8)  # voxels per block (x, y, z)
-    window_x: int = 24  # x window (VPU contraction; multiple of 8)
-    window_y: int = 40  # y window (MXU contraction; multiple of 8)
+    height: int  # heatmap H (true, un-padded)
+    width: int  # heatmap W (true, un-padded)
+    num_joints: int  # total joints J (any count; packed in groups of 16)
+    tile: Tuple[int, int, int] = (8, 8, 8)  # voxels per block (x, y, z)
+    window_x: int = 40  # x window (VPU/selector-MXU stage; multiple of 8)
+    window_y: int = 48  # y window (MXU contraction; multiple of 8)
     exact: bool = False  # True: f32-exact MXU passes (HIGHEST)
     interpret: bool = False  # CPU interpreter (tests)
     # bf16 VPU stage-2 (x interpolation): halves the dominant elementwise
-    # cost where the VPU packs bf16; numerically moot when exact=False
-    # (the MXU stage already rounds to bf16 products)
-    vpu_bf16: bool = False
-    # window anchoring: 'min' anchors at the tile's minimum coordinate
-    # (right for compact crop tiles); 'center' centers the window on the
-    # tile's middle sample — robust when a tile mixes in-front samples
-    # with behind-camera garbage whose clamped coords would otherwise
-    # drag a min-anchored window away from the real cluster (whole-space
-    # pillars)
-    anchor: str = "min"
+    # cost where the VPU packs bf16; only honored when exact=False (the
+    # MXU stage already rounds to bf16 products there)
+    vpu_bf16: bool = True
 
+    # ---- derived static shapes ----------------------------------------
     @property
     def jp(self) -> int:
-        # lane packing: slice offsets are ox*jp with ox a multiple of 8,
-        # so jp must be a multiple of 16 for provable 128-alignment
-        return _round_up(self.num_joints, 16)
+        # per-group lane packing: slice offsets are ox*jp with ox a
+        # multiple of 8, so jp must be a multiple of 16 for provable
+        # 128-alignment.  Joints beyond 16 go into further groups.
+        return 16
+
+    @property
+    def groups(self) -> int:
+        return _round_up(self.num_joints, self.jp) // self.jp
+
+    @property
+    def jp_total(self) -> int:
+        return self.groups * self.jp
+
+    @property
+    def hp(self) -> int:
+        # zero-padded H: padding rows are zeros, which is exactly
+        # grid_sample zeros-padding for samples past the image edge
+        return _round_up(self.height, 8)
+
+    @property
+    def wp(self) -> int:
+        return _round_up(self.width, 8)
 
     @property
     def samples(self) -> int:
@@ -96,170 +125,280 @@ class SampleKernelSpec:
 
     @property
     def xw(self) -> int:
-        return min(self.window_x, _round_up(self.width, 8))
+        return min(self.window_x, self.wp)
 
     @property
     def yw(self) -> int:
-        return min(self.window_y, _round_up(self.height, 8))
+        return min(self.window_y, self.hp)
+
+    @property
+    def nx(self) -> int:
+        """Disjoint x windows covering the padded image (slow path)."""
+        return -(-self.wp // self.xw)
+
+    @property
+    def ny(self) -> int:
+        return -(-self.hp // self.yw)
 
     def validate(self):
         if self.xw % 8 or self.yw % 8:
             raise ValueError("windows must be multiples of 8")
-        if self.anchor not in ("min", "center"):
-            raise ValueError(f"unknown anchor mode {self.anchor!r}")
 
 
 def pack_heatmaps(heatmaps: jnp.ndarray, spec: SampleKernelSpec) -> jnp.ndarray:
-    """(V, H, W, J) -> (V, H, W*JP) f32, lane layout x-major joint-minor.
+    """(V, H, W, J) -> (G, V, Hp, Wp*16) f32, lane layout x-major
+    joint-minor within each 16-joint group.
 
     The y axis stays on sublanes (the MXU contraction dim); x and joints
     share lanes so an x window is one aligned contiguous lane slice.
+    H/W pad rows/cols are zeros — sampling them reproduces zeros-padding
+    bilinear bit-exactly, so no caller needs H or W divisible by 8.
     """
     V, H, W, J = heatmaps.shape
-    hmp = jnp.pad(heatmaps.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, spec.jp - J)))
-    return hmp.reshape(V, H, W * spec.jp)
+    jp, G = spec.jp, spec.groups
+    hmp = jnp.pad(
+        heatmaps.astype(jnp.float32),
+        (
+            (0, 0),
+            (0, spec.hp - H),
+            (0, spec.wp - W),
+            (0, G * jp - J),
+        ),
+    )  # (V, Hp, Wp, G*jp)
+    # group g takes joints [g*jp, (g+1)*jp): (G, V, Hp, Wp*jp)
+    return hmp.reshape(V, spec.hp, spec.wp, G, jp).transpose(3, 0, 1, 2, 4).reshape(
+        G, V, spec.hp, spec.wp * jp
+    )
 
 
-def _compute_block(coords_ref, hm_ref, spec: SampleKernelSpec):
-    """The sampling math for one block: (V, 2, S) coords against the
-    VMEM-resident heatmaps -> (JP, S) camera-averaged clamped samples."""
+def _window_contrib(win, x, y, ox, oy, lx, ly, spec: SampleKernelSpec):
+    """Contribution of one heatmap window to all samples of a tile.
+
+    win: (YW, XW*JP) slice whose origin is (oy, ox); x/y: (S,) pixel
+    coords; lx/ly: logical coverage start — pixels with index < lx (< ly)
+    are zero-weighted so the disjoint-cover slow path never counts a
+    pixel twice when the final window is clipped into the image.
+    Returns (JP, S) f32.
+    """
     s = spec.padded_samples
     xw, yw, jp = spec.xw, spec.yw, spec.jp
-    w, h = spec.width, spec.height
     precision = (
         jax.lax.Precision.HIGHEST if spec.exact else jax.lax.Precision.DEFAULT
     )
 
-    acc = jnp.zeros((jp, s), jnp.float32)
-    for v in range(spec.n_views):
-        x = coords_ref[v, 0, :]
-        y = coords_ref[v, 1, :]
-        # window origin (quantized down to 8 for slice alignment, clipped
-        # into the image).  Coverage guarantee: every in-image pixel
-        # within distance 1 of any sample must fall in the window, i.e.
-        # per-tile pixel spread <= window - 9 (see tile_pixel_spread)
-        if spec.anchor == "min":
-            ax = jnp.floor(jnp.min(x))
-            ay = jnp.floor(jnp.min(y))
-        else:  # 'center': window centered on the tile's middle sample
-            ax = jnp.floor(x[spec.samples // 2]) - (xw // 2 - 8)
-            ay = jnp.floor(y[spec.samples // 2]) - (yw // 2 - 8)
-        ox = jnp.clip(ax, 0.0, float(w - xw)).astype(jnp.int32)
-        oy = jnp.clip(ay, 0.0, float(h - yw)).astype(jnp.int32)
-        ox = pl.multiple_of((ox // 8) * 8, 8)
-        oy = pl.multiple_of((oy // 8) * 8, 8)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (yw, s), 0) + oy
+    yif = yi.astype(jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[None, :] - yif))  # (YW, S)
+    wy = jnp.where(yi >= ly, wy, 0.0)
 
-        win = hm_ref[v, pl.ds(oy, yw), pl.ds(pl.multiple_of(ox * jp, 128), xw * jp)]
+    # y interpolation: one MXU contraction over the y window
+    t = jax.lax.dot_general(
+        win,
+        wy,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (XW*JP, S), rows x-major joint-minor
 
-        xi = jax.lax.broadcasted_iota(jnp.int32, (xw, s), 0).astype(
-            jnp.float32
-        ) + ox.astype(jnp.float32)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - xi))  # (XW, S)
-        yi = jax.lax.broadcasted_iota(jnp.int32, (yw, s), 0).astype(
-            jnp.float32
-        ) + oy.astype(jnp.float32)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[None, :] - yi))  # (YW, S)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (xw, s), 0) + ox
+    xif = xi.astype(jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - xif))  # (XW, S)
+    wx = jnp.where(xi >= lx, wx, 0.0)
 
-        # y interpolation: one MXU contraction over the (tall) y window
-        t = jax.lax.dot_general(
-            win,
-            wy,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # (XW*JP, S), rows x-major joint-minor
+    if spec.exact:
+        # f32 multiply + sublane-sum: bit-stable parity path
+        p3 = t.reshape(xw, jp, s) * wx[:, None, :]
+        return jnp.sum(p3, axis=0)
 
-        # x interpolation: lane-parallel contraction over the narrow window
-        if spec.vpu_bf16:
-            p3 = t.astype(jnp.bfloat16).reshape(xw, jp, s) * wx.astype(
-                jnp.bfloat16
-            )[:, None, :]
-            acc = acc + jnp.sum(p3, axis=0).astype(jnp.float32)
-        else:
-            p3 = t.reshape(xw, jp, s) * wx[:, None, :]
-            acc = acc + jnp.sum(p3, axis=0)
-
-    return jnp.clip(acc * (1.0 / spec.n_views), 0.0, 1.0)
+    # fast path: bf16 multiplies on the VPU, the x reduction rides the
+    # MXU against a constant 0/1 joint-selector (sel[x*jp+j, j'] = j==j';
+    # 0/1 x bf16 products are exact, accumulation is f32)
+    p3 = t.astype(jnp.bfloat16).reshape(xw, jp, s) * wx.astype(jnp.bfloat16)[
+        :, None, :
+    ]
+    p3r = p3.reshape(xw * jp, s)
+    r = jax.lax.broadcasted_iota(jnp.int32, (xw * jp, jp), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (xw * jp, jp), 1)
+    sel = ((r & (jp - 1)) == c).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        sel,
+        p3r,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (JP, S)
 
 
-def _kernel_body(coords_ref, hm_ref, out_ref, *, spec: SampleKernelSpec):
-    out_ref[0] = _compute_block(coords_ref.at[0], hm_ref, spec)
+def _view_accumulate(out_ref, x, y, hm_ref, v, spec: SampleKernelSpec):
+    """Accumulate one view's bilinear samples for a tile into out_ref.
 
+    Picks, in-kernel, between the anchored fast window (exact iff every
+    sample's in-image pixel support fits it — checked here) and the
+    disjoint full-cover slow path (exact for ANY coordinates).
+    """
+    xw, yw, jp = spec.xw, spec.yw, spec.jp
+    wp, hp = spec.wp, spec.hp
+    w, h = spec.width, spec.height
+    nx, ny = spec.nx, spec.ny
 
-def _kernel_body_valid(valid_ref, coords_ref, hm_ref, out_ref, *, spec):
-    """Validity-gated body: invalid blocks (undetected proposal slots)
-    write zeros and skip all sampling math, so JLN cost scales with the
-    number of DETECTED people like the reference's valid-only loop
-    (joint_localization_net.py:77)."""
-    i = pl.program_id(0)
+    def slice_win(ox, oy):
+        return hm_ref[
+            v,
+            pl.ds(pl.multiple_of(oy, 8), yw),
+            pl.ds(pl.multiple_of(ox * jp, 128), xw * jp),
+        ]
 
-    @pl.when(valid_ref[i] > 0)
+    if nx == 1 and ny == 1:
+        # window = whole padded image: always exact, no flag needed
+        out_ref[0] += _window_contrib(
+            slice_win(0, 0), x, y, 0, 0, 0, 0, spec
+        )
+        return
+
+    # in-image pixel support of each sample: [max(floor,0), min(floor+1,
+    # dim-1)]; empty-support samples are excluded from both the anchor
+    # and the exactness check (their contribution is zero either way)
+    def support(v, dim):
+        lo = jnp.floor(v)
+        hi = lo + 1.0
+        nonempty = (hi >= 0.0) & (lo <= dim - 1.0)
+        cov_lo = jnp.where(nonempty, jnp.maximum(lo, 0.0), float(dim))
+        cov_hi = jnp.where(nonempty, jnp.minimum(hi, dim - 1.0), -1.0)
+        return cov_lo, cov_hi
+
+    cov_lo_x, cov_hi_x = support(x, w)
+    cov_lo_y, cov_hi_y = support(y, h)
+    ax = jnp.min(cov_lo_x)
+    bx = jnp.max(cov_hi_x)
+    ay = jnp.min(cov_lo_y)
+    by = jnp.max(cov_hi_y)
+    # anchored window origin: quantized down to 8 (slice alignment),
+    # clipped into the padded image
+    ox = ((jnp.clip(ax, 0.0, float(wp - xw)).astype(jnp.int32)) // 8) * 8
+    oy = ((jnp.clip(ay, 0.0, float(hp - yw)).astype(jnp.int32)) // 8) * 8
+    # ox <= ax always (clip can only lower it), so exactness reduces to
+    # the upper edge: the last supported pixel fits the window
+    fast = (bx.astype(jnp.int32) <= ox + (xw - 1)) & (
+        by.astype(jnp.int32) <= oy + (yw - 1)
+    )
+
+    @pl.when(fast)
     def _():
-        out_ref[0] = _compute_block(coords_ref.at[0], hm_ref, spec)
+        oxk = pl.multiple_of(ox, 8)
+        oyk = pl.multiple_of(oy, 8)
+        out_ref[0] += _window_contrib(
+            slice_win(oxk, oyk), x, y, oxk, oyk, 0, 0, spec
+        )
+
+    @pl.when(jnp.logical_not(fast))
+    def _():
+        # exact cover: disjoint windows tile the padded image; the final
+        # window of each axis is clipped back inside and its overlap
+        # zero-masked via the logical starts lx/ly
+        def body(k, acc):
+            ky = k // nx
+            kx = k - ky * nx
+            lyk = ky * yw
+            lxk = kx * xw
+            oyk = pl.multiple_of(jnp.minimum(lyk, hp - yw), 8)
+            oxk = pl.multiple_of(jnp.minimum(lxk, wp - xw), 8)
+            return acc + _window_contrib(
+                slice_win(oxk, oyk), x, y, oxk, oyk, lxk, lyk, spec
+            )
+
+        out_ref[0] += jax.lax.fori_loop(
+            0,
+            ny * nx,
+            body,
+            jnp.zeros((jp, spec.padded_samples), jnp.float32),
+        )
+
+
+def _kernel_body(valid_ref, coords_ref, hm_ref, out_ref, *, spec):
+    """Grid step = one tile: camera-mean of per-view bilinear samples.
+
+    Invalid blocks (undetected proposal slots) write zeros and skip all
+    sampling math, so JLN cost scales with the number of DETECTED people
+    like the reference's valid-only loop (joint_localization_net.py:77).
+    """
+    i = pl.program_id(0)
 
     @pl.when(valid_ref[i] <= 0)
     def _():
         out_ref[0] = jnp.zeros((spec.jp, spec.padded_samples), jnp.float32)
 
+    @pl.when(valid_ref[i] > 0)
+    def _():
+        out_ref[0] = jnp.zeros((spec.jp, spec.padded_samples), jnp.float32)
+        for v in range(spec.n_views):
+            x = coords_ref[0, v, 0, :]
+            y = coords_ref[0, v, 1, :]
+            _view_accumulate(out_ref, x, y, hm_ref, v, spec)
+        out_ref[0] = jnp.clip(
+            out_ref[0] * (1.0 / spec.n_views), 0.0, 1.0
+        )
+
+
+def _sample_tiles_group(
+    hm_group: jnp.ndarray,  # (V, Hp, Wp*JP) one 16-joint group
+    coords: jnp.ndarray,  # (NB, V, 2, S) padded-sample pixel coords
+    spec: SampleKernelSpec,
+    valid: jnp.ndarray,  # (NB,) int32
+) -> jnp.ndarray:  # (NB, JP, S)
+    nb = coords.shape[0]
+    V = spec.n_views
+    s = spec.padded_samples
+    out_shape = jax.ShapeDtypeStruct((nb, spec.jp, s), jnp.float32)
+    kern = functools.partial(_kernel_body, spec=spec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # heatmaps resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, spec.jp, s), lambda i, _v: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=spec.interpret,
+    )(valid, coords, hm_group)
+
 
 def sample_tiles(
-    hm_packed: jnp.ndarray,  # (V, H, W*JP)
+    hm_packed: jnp.ndarray,  # (G, V, Hp, Wp*JP) from pack_heatmaps
     coords: jnp.ndarray,  # (NB, V, 2, S) pixel coords
     spec: SampleKernelSpec,
-    valid: jnp.ndarray = None,  # (NB,) int32; 0 = skip block, write zeros
-) -> jnp.ndarray:  # (NB, JP, S)
-    """Camera-averaged bilinear samples for NB tiles of S samples each."""
+    valid: jnp.ndarray = None,  # (NB,) int/bool; 0 = skip block, zeros
+) -> jnp.ndarray:  # (NB, JP_TOTAL, S)
+    """Camera-averaged bilinear samples for NB tiles of S samples each,
+    exact for any coordinates (see module docstring).  Joint groups run
+    as consecutive kernel launches sharing the same coords."""
     spec.validate()
     nb, V, _, s_in = coords.shape
     s = spec.padded_samples
     if s_in != s:
         # lane alignment: replicate the last sample into the pad columns
-        # (keeps window bounds untouched); output is sliced back below
+        # (keeps window anchors untouched); output is sliced back below
         coords = jnp.concatenate(
             [coords, jnp.repeat(coords[..., -1:], s - s_in, axis=-1)], axis=-1
         )
-    out_shape = jax.ShapeDtypeStruct((nb, spec.jp, s), jnp.float32)
     if valid is None:
-        kern = functools.partial(_kernel_body, spec=spec)
-        out = pl.pallas_call(
-            kern,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, V, 2, s), lambda i: (i, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # heatmaps resident
-            ],
-            out_specs=pl.BlockSpec(
-                (1, spec.jp, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=out_shape,
-            interpret=spec.interpret,
-        )(coords, hm_packed)
+        valid = jnp.ones((nb,), jnp.int32)
     else:
-        kern = functools.partial(_kernel_body_valid, spec=spec)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, spec.jp, s), lambda i, _v: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        )
-        out = pl.pallas_call(
-            kern,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=spec.interpret,
-        )(valid.astype(jnp.int32), coords, hm_packed)
+        valid = valid.astype(jnp.int32)
+    outs = [
+        _sample_tiles_group(hm_packed[g], coords, spec, valid)
+        for g in range(spec.groups)
+    ]
+    out = outs[0] if spec.groups == 1 else jnp.concatenate(outs, axis=1)
     return out[:, :, :s_in] if s_in != s else out
 
 
@@ -308,9 +447,9 @@ def tiles_to_cube(
 
 def tile_pixel_spread(coords: np.ndarray, spec: SampleKernelSpec):
     """Diagnostic: per-tile pixel spread (max-min, both axes) of blocked
-    coords (NB, V, 2, S).  The kernel is exact iff
-    spread_x <= xw - 9 and spread_y <= yw - 9 for every tile (the -9 is
-    bilinear margin 2 + origin quantization 7); tiles near the image edge
-    get extra slack from coordinate clamping."""
+    coords (NB, V, 2, S).  Tiles with spread_x <= xw - 9 and
+    spread_y <= yw - 9 take the single-window fast path (the -9 is
+    bilinear margin 2 + origin quantization 7); larger tiles fall back to
+    the exact full-cover loop (ny*nx windows) for that view."""
     spread = coords.max(axis=-1) - coords.min(axis=-1)  # (NB, V, 2)
     return spread[..., 0].max(), spread[..., 1].max()

@@ -64,15 +64,13 @@ def make_dp_train_step(cfg: Config, model, mesh: Mesh, backbone=None):
     repl = replicated(mesh)
     bsh = batch_sharding(mesh, axis)
 
-    def shardings_for_batch(batch):
-        return {k: bsh for k in batch}
-
-    def dp_step(state, batch, backbone_vars=None):
-        return step(state, batch, backbone_vars)
-
-    # out_shardings: state replicated, losses replicated
+    # in_shardings enforce the contract: state/backbone replicated, every
+    # batch leaf sharded on its leading axis (bsh is a pytree prefix for
+    # the whole batch dict).  A caller that forgot shard_batch gets its
+    # arrays resharded here instead of silently running replicated.
     jitted = jax.jit(
-        dp_step,
+        step,
+        in_shardings=(repl, bsh, repl),
         out_shardings=(repl, repl),
     )
     return jitted

@@ -28,8 +28,26 @@ def trace(log_dir: Optional[str]) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+class _StepHandle:
+    """Mutable handle yielded by StepTimer.step: the caller deposits the
+    device result produced inside the context so the timer can block on
+    it AFTER host dispatch time is recorded (results don't exist yet
+    when the context opens, so they can't be passed as arguments)."""
+
+    def __init__(self):
+        self.result = None
+
+    def set(self, result):
+        self.result = result
+
+
 class StepTimer:
-    """Tracks per-step host wall time and synchronized device time."""
+    """Tracks per-step host wall time and synchronized device time.
+
+    host_s counts only the dispatch section (everything inside the
+    context); device_s additionally includes block_until_ready on the
+    result deposited via the yielded handle — keep host-side fetches
+    (np.asarray) OUTSIDE the context or the two numbers collapse."""
 
     def __init__(self):
         self.host_s = 0.0
@@ -40,11 +58,15 @@ class StepTimer:
     def step(self, result_to_block=None):
         import jax
 
+        handle = _StepHandle()
         t0 = time.perf_counter()
-        yield
+        yield handle
         t1 = time.perf_counter()
-        if result_to_block is not None:
-            jax.block_until_ready(result_to_block)
+        blockable = (
+            handle.result if handle.result is not None else result_to_block
+        )
+        if blockable is not None:
+            jax.block_until_ready(blockable)
         t2 = time.perf_counter()
         self.host_s += t1 - t0
         self.device_s += t2 - t0

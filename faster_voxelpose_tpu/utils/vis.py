@@ -174,8 +174,44 @@ def test_vis_all(
     """Dispatch on cfg.TEST.VIS_TYPE (reference test_vis_all, vis.py:48-57):
     every configured VIS_TYPE entry ('2d_planes', 'image_with_poses',
     'heatmaps') emits its artifact kind for each sample."""
+    return _vis_all(
+        cfg, cfg.TEST.VIS_TYPE, fused_poses, proposal_centers, heatmaps,
+        prefix, images, packed_rigs, resize_transform,
+    )
+
+
+def train_vis_all(
+    cfg,
+    fused_poses,
+    proposal_centers,
+    heatmaps,
+    prefix,
+    images=None,
+    packed_rigs=None,
+    resize_transform=None,
+):
+    """Training-time counterpart keyed on cfg.TRAIN.VIS_TYPE (reference
+    train_vis_all, vis.py:34-46): emits every configured artifact kind
+    for the current training batch."""
+    return _vis_all(
+        cfg, cfg.TRAIN.VIS_TYPE, fused_poses, proposal_centers, heatmaps,
+        prefix, images, packed_rigs, resize_transform,
+    )
+
+
+def _vis_all(
+    cfg,
+    vis_type,
+    fused_poses,
+    proposal_centers,
+    heatmaps,
+    prefix,
+    images=None,
+    packed_rigs=None,
+    resize_transform=None,
+):
     outputs = []
-    if "2d_planes" in cfg.TEST.VIS_TYPE:
+    if "2d_planes" in vis_type:
         for i in range(len(fused_poses)):
             outputs.append(
                 save_2d_planes(
@@ -185,7 +221,7 @@ def test_vis_all(
                 )
             )
     if (
-        "image_with_poses" in cfg.TEST.VIS_TYPE
+        "image_with_poses" in vis_type
         and images is not None
         and packed_rigs is not None
     ):
@@ -196,7 +232,7 @@ def test_vis_all(
                     f"{prefix}_{i:04d}", resize_transform,
                 )
             )
-    if "heatmaps" in cfg.TEST.VIS_TYPE and heatmaps is not None:
+    if "heatmaps" in vis_type and heatmaps is not None:
         for i in range(len(heatmaps)):
             outputs.extend(save_heatmaps(heatmaps[i], f"{prefix}_{i:04d}"))
     return outputs

@@ -107,6 +107,23 @@ def main():
 
     meters = {k: AverageMeter() for k in ("total", "2d", "1d", "bbox", "joint", "time")}
     global_step = 0
+
+    # training-time visualization step (reference train_vis_all,
+    # function.py:112-114): one jit shared by every rendered batch
+    vis_step = vis_backbone_step = None
+    if cfg.TRAIN.VISUALIZATION:
+        @jax.jit
+        def vis_step(eval_vars, hm, cams):
+            out = model.apply(eval_vars, hm, cams, train=False, mutable=False)
+            return out.fused_poses, out.proposal_centers
+
+        if backbone is not None:
+            @jax.jit
+            def vis_backbone_step(bvars, images):
+                B, V = images.shape[:2]
+                flat = images.reshape((B * V,) + images.shape[2:])
+                hm = backbone.apply(bvars, flat, train=False, mutable=False)
+                return hm.reshape((B, V) + hm.shape[1:])
     for epoch in range(start_epoch, cfg.TRAIN.END_EPOCH):
         logger.info("epoch %d", epoch)
         end = time.time()
@@ -132,30 +149,45 @@ def main():
                     losses["2d_heatmaps"], losses["1d_heatmaps"],
                     losses["bbox"], losses["joint"],
                 )
-                if cfg.TRAIN.VISUALIZATION and "2d_planes" in cfg.TRAIN.VIS_TYPE \
-                        and "input_heatmaps" in batch:
-                    # render this batch's predictions (reference
-                    # train_vis_all, function.py:112-114)
-                    from faster_voxelpose_tpu.engine.validator import make_eval_step
-                    from faster_voxelpose_tpu.utils.vis import save_2d_planes
+                if cfg.TRAIN.VISUALIZATION and (
+                    "input_heatmaps" in batch or "images" in batch
+                ):
+                    # every configured VIS_TYPE artifact for this batch
+                    # (reference train_vis_all, vis.py:34-46)
+                    from faster_voxelpose_tpu.utils.vis import train_vis_all
 
                     eval_vars = {
                         "params": state.params, "batch_stats": state.batch_stats,
                     }
-                    preds = np.asarray(
-                        make_eval_step(cfg, model)(
-                            eval_vars, batch["input_heatmaps"], batch["cameras"]
+                    if "input_heatmaps" in batch:
+                        hm = batch["input_heatmaps"]
+                    else:  # image source: heatmaps from the backbone
+                        hm = vis_backbone_step(backbone_vars, batch["images"])
+                    preds, pcs = vis_step(eval_vars, hm, batch["cameras"])
+                    images = None
+                    if "images" in batch:
+                        from faster_voxelpose_tpu.datasets.images import (
+                            denormalize_images,
                         )
-                    )
-                    save_2d_planes(
-                        cfg, preds[0], None,
+
+                        images = denormalize_images(np.asarray(batch["images"]))
+                    train_vis_all(
+                        cfg, np.asarray(preds), np.asarray(pcs),
+                        np.asarray(hm),
                         os.path.join(output_dir, "train_vis", f"{epoch}_{i:06d}"),
+                        images=images,
+                        packed_rigs=np.asarray(batch["cameras"]),
+                        resize_transform=train_ds.resize_transform
+                        if images is not None else None,
                     )
                 end = time.time()
             global_step += 1
 
         eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
-        metric, msg, _ = run_validation(cfg, model, eval_vars, test_ds)
+        metric, msg, _ = run_validation(
+            cfg, model, eval_vars, test_ds,
+            dataset_factory=(lambda: test_ds) if cfg.WORKERS > 0 else None,
+        )
         writer.add_scalar("eval_metric", metric, epoch)
         is_best = metric > best_metric
         best_metric = max(metric, best_metric)

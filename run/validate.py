@@ -36,22 +36,33 @@ def parse_args():
     return p.parse_args()
 
 
-def main():
-    args = parse_args()
+def evaluate_model(
+    cfg,
+    output_dir,
+    torch_weights=None,
+    weights_mode="best",
+    test_ds=None,
+    logger=None,
+):
+    """Checkpoint -> metric round trip, importable (run_real_parity.py
+    drives this for all three benchmark datasets).
 
-    from faster_voxelpose_tpu.config import load_config
+    weights_mode: 'best' loads the orbax best-model under output_dir;
+    'random' evaluates a fresh init (pipeline dry-runs on fabricated
+    data).  torch_weights (a reference model_best.pth.tar) overrides
+    both.  Returns (metric, msg, preds, test_ds).
+    """
+    import logging
+
     from faster_voxelpose_tpu.datasets import get_dataset
     from faster_voxelpose_tpu.engine.checkpoint import load_best_model
     from faster_voxelpose_tpu.engine.validator import run_validation
     from faster_voxelpose_tpu.models.faster_voxelpose import build_model
     from faster_voxelpose_tpu.models.resnet import build_backbone
-    from faster_voxelpose_tpu.utils.logging_utils import create_logger
 
-    cfg = load_config(args.cfg)
-    logger, output_dir, _ = create_logger(cfg, args.cfg, "validate")
-    logger.info("devices: %s", jax.devices())
-
-    test_ds = get_dataset(cfg.DATASET.TEST_DATASET)(cfg, is_train=False)
+    logger = logger or logging.getLogger(__name__)
+    if test_ds is None:
+        test_ds = get_dataset(cfg.DATASET.TEST_DATASET)(cfg, is_train=False)
 
     model = build_model(cfg)
     B, V = 1, cfg.DATASET.CAMERA_NUM
@@ -64,14 +75,17 @@ def main():
         train=False,
     )
 
-    if args.torch_weights:
+    if torch_weights:
         from faster_voxelpose_tpu.utils.weights_torch import (
             convert_model,
             load_torch_state_dict,
         )
 
-        variables = convert_model(load_torch_state_dict(args.torch_weights))
-        logger.info("=> converted torch weights from %s", args.torch_weights)
+        variables = convert_model(load_torch_state_dict(torch_weights))
+        logger.info("=> converted torch weights from %s", torch_weights)
+    elif weights_mode == "random":
+        variables = template
+        logger.info("=> evaluating RANDOM init (pipeline dry run)")
     else:
         variables = load_best_model(output_dir, template)
         logger.info("=> loaded best model from %s", output_dir)
@@ -102,13 +116,31 @@ def main():
                 ]
             )
 
+    metric, msg, preds = run_validation(
+        cfg, model, variables, test_ds,
+        backbone=backbone, backbone_vars=backbone_vars,
+        image_loader=image_loader,
+        # fork-pool render workers share the built dataset records
+        # copy-on-write (reference eval uses 8 loader workers too)
+        dataset_factory=(lambda: test_ds) if cfg.WORKERS > 0 else None,
+    )
+    return metric, msg, preds, test_ds
+
+
+def main():
+    args = parse_args()
+
+    from faster_voxelpose_tpu.config import load_config
+    from faster_voxelpose_tpu.utils.logging_utils import create_logger
     from faster_voxelpose_tpu.utils.profiling import trace
 
+    cfg = load_config(args.cfg)
+    logger, output_dir, _ = create_logger(cfg, args.cfg, "validate")
+    logger.info("devices: %s", jax.devices())
+
     with trace(args.profile):
-        metric, msg, preds = run_validation(
-            cfg, model, variables, test_ds,
-            backbone=backbone, backbone_vars=backbone_vars,
-            image_loader=image_loader,
+        metric, msg, preds, test_ds = evaluate_model(
+            cfg, output_dir, torch_weights=args.torch_weights, logger=logger
         )
     if args.profile:
         logger.info("wrote profiler trace to %s", args.profile)

@@ -83,15 +83,46 @@ _SKELETON = np.array(
 )
 
 
-def make_pose_bank(n_poses: int, seed: int = 1):
+# a 17-joint COCO-order template (nose, eyes, ears, shoulders, elbows,
+# wrists, hips, knees, ankles), mm offsets from mid-hip — the joint set
+# the Shelf/Campus profiles train on (configs/shelf/jln64.yaml
+# NUM_JOINTS 17, ROOT_JOINT_ID [11, 12])
+_SKELETON_COCO17 = np.array(
+    [
+        [0, 40, 560],     # nose
+        [30, 55, 590],    # l-eye
+        [-30, 55, 590],   # r-eye
+        [70, 20, 570],    # l-ear
+        [-70, 20, 570],   # r-ear
+        [150, 0, 430],    # l-shoulder
+        [-150, 0, 430],   # r-shoulder
+        [230, 0, 200],    # l-elbow
+        [-230, 0, 200],   # r-elbow
+        [260, 30, -20],   # l-wrist
+        [-260, 30, -20],  # r-wrist
+        [90, 0, 0],       # l-hip
+        [-90, 0, 0],      # r-hip
+        [100, 20, -420],  # l-knee
+        [-100, 20, -420], # r-knee
+        [110, 0, -800],   # l-ankle
+        [-110, 0, -800],  # r-ankle
+    ],
+    dtype=np.float64,
+)
+
+_SKELETONS = {"panoptic15": _SKELETON, "coco17": _SKELETON_COCO17}
+
+
+def make_pose_bank(n_poses: int, seed: int = 1, skeleton: str = "panoptic15"):
+    template = _SKELETONS[skeleton]
     rng = np.random.RandomState(seed)
     bank = []
     for _ in range(n_poses):
-        jitter = rng.normal(0, 40, _SKELETON.shape)
+        jitter = rng.normal(0, 40, template.shape)
         root_height = rng.uniform(850, 1000)
-        pose = _SKELETON + jitter
+        pose = template + jitter
         pose[:, 2] += root_height
-        vis = np.ones((len(_SKELETON), 4))
+        vis = np.ones((len(template), 4))
         bank.append({"pose": pose, "vis": vis})
     return bank
 
@@ -103,14 +134,22 @@ def main():
     p.add_argument("--poses", type=int, default=500)
     p.add_argument("--radius", type=float, default=4500.0)
     p.add_argument("--image-size", type=int, nargs=2, default=[1032, 776])
+    p.add_argument(
+        "--skeleton", default="panoptic15", choices=sorted(_SKELETONS),
+        help="joint set of the pose bank (coco17 = the Shelf/Campus set)",
+    )
+    p.add_argument(
+        "--center", type=float, nargs=2, default=[0.0, 0.0],
+        help="capture space center xy (mm); match CAPTURE_SPEC.SPACE_CENTER",
+    )
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
-    rig = make_rig(args.views, args.radius, 2200.0, (0.0, 0.0), args.image_size)
+    rig = make_rig(args.views, args.radius, 2200.0, tuple(args.center), args.image_size)
     with open(os.path.join(args.out, "calibration_demo.json"), "w") as f:
         json.dump(rig, f, indent=1)
 
-    bank = make_pose_bank(args.poses)
+    bank = make_pose_bank(args.poses, skeleton=args.skeleton)
     with open(os.path.join(args.out, "demo_pose_bank.pkl"), "wb") as f:
         pickle.dump(bank, f)
 

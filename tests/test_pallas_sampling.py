@@ -2,7 +2,14 @@
 (CPU).  On-chip parity + throughput are exercised by
 scripts/check_pallas_parity.py and scripts/probe_pallas.py (the real
 Mosaic lowering was additionally bit-checked there: max err 2.4e-7 exact
-mode at the full Panoptic profile)."""
+mode at the full Panoptic profile).
+
+Round 3: the kernel is exact for ANY coordinates — tiles whose pixel
+footprint exceeds the anchored window fall back in-kernel to a disjoint
+full-image window cover — and joints beyond 16 run as extra lane groups.
+The tests below pin both paths against the torch-bit-validated XLA
+bilinear, including wild/garbage coordinates and COCO-17 profiles.
+"""
 
 import numpy as np
 import pytest
@@ -53,7 +60,7 @@ def _spec(**kw):
 
 
 def _xla_reference(hm, coords, spec):
-    """hm (V,H,W,J); coords (NB,V,2,S) pixels -> (NB,JP,S)."""
+    """hm (V,H,W,J); coords (NB,V,2,S) pixels -> (NB,JP_TOTAL,S)."""
     from faster_voxelpose_tpu.ops.sampling import bilinear_sample
 
     W, H, J = spec.width, spec.height, spec.num_joints
@@ -61,19 +68,18 @@ def _xla_reference(hm, coords, spec):
     c = jnp.stack([x / (W - 1) * 2 - 1, y / (H - 1) * 2 - 1], axis=-1)
     vals = jax.vmap(lambda cv: jax.vmap(bilinear_sample, (0, 0))(hm, cv))(c)
     out = jnp.clip(jnp.mean(vals, axis=1), 0.0, 1.0)
-    out = jnp.pad(out, ((0, 0), (0, 0), (0, spec.jp - J)))
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, spec.jp_total - J)))
     return out.transpose(0, 2, 1)
 
 
-def test_kernel_matches_bilinear_reference():
-    """Interpreter-mode kernel vs the (torch-bit-validated) XLA bilinear,
-    including out-of-image coords and image-edge windows."""
-    spec = _spec()
-    rng = np.random.RandomState(0)
+def _random_case(spec, nb, jitter, seed=0, wild_every=None):
+    """Random heatmaps + per-tile coord clusters; tiles at index
+    wild_every (if set) get full-image-spread coords that cannot fit any
+    anchored window, forcing the in-kernel full-cover slow path."""
+    rng = np.random.RandomState(seed)
     hm = rng.rand(spec.n_views, spec.height, spec.width, spec.num_joints)
     hm = hm.astype(np.float32)
-
-    nb, s = 6, spec.samples
+    s = spec.samples
     centers = np.stack(
         [
             rng.uniform(-6, spec.width + 6, (nb, spec.n_views, 1)),
@@ -81,9 +87,59 @@ def test_kernel_matches_bilinear_reference():
         ],
         axis=2,
     )
-    jitter = rng.uniform(-5, 5, (nb, spec.n_views, 2, s))
-    coords = (centers + jitter).astype(np.float32)
+    coords = centers + rng.uniform(-jitter, jitter, (nb, spec.n_views, 2, s))
+    if wild_every:
+        for b in range(0, nb, wild_every):
+            coords[b, :, 0, :] = rng.uniform(-8, spec.width + 8, (spec.n_views, s))
+            coords[b, :, 1, :] = rng.uniform(-8, spec.height + 8, (spec.n_views, s))
+    return hm, coords.astype(np.float32)
 
+
+def test_kernel_matches_bilinear_reference():
+    """Interpreter-mode kernel vs the (torch-bit-validated) XLA bilinear,
+    including out-of-image coords and image-edge windows."""
+    spec = _spec()
+    hm, coords = _random_case(spec, nb=6, jitter=5, seed=0)
+    hm_packed = pack_heatmaps(jnp.asarray(hm), spec)
+    ours = np.asarray(sample_tiles(hm_packed, jnp.asarray(coords), spec))
+    ref = np.asarray(_xla_reference(jnp.asarray(hm), jnp.asarray(coords), spec))
+    np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+
+def test_slow_path_wild_coords_exact():
+    """Tiles whose pixel spread exceeds any anchored window (near-camera
+    bins, behind-camera garbage that lands in-image) take the full-cover
+    path and still match the reference bilinear exactly."""
+    spec = _spec(window_x=16, window_y=16)  # tiny windows: nx=3, ny=2
+    assert spec.nx * spec.ny > 1
+    hm, coords = _random_case(spec, nb=8, jitter=4, seed=1, wild_every=2)
+    hm_packed = pack_heatmaps(jnp.asarray(hm), spec)
+    ours = np.asarray(sample_tiles(hm_packed, jnp.asarray(coords), spec))
+    ref = np.asarray(_xla_reference(jnp.asarray(hm), jnp.asarray(coords), spec))
+    np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+
+def test_joint_groups_coco17():
+    """J=17 (COCO) packs into two 16-joint lane groups; outputs match the
+    reference bilinear on every joint of both groups."""
+    spec = _spec(num_joints=17, window_x=16, window_y=16)
+    assert spec.groups == 2 and spec.jp_total == 32
+    hm, coords = _random_case(spec, nb=6, jitter=4, seed=2, wild_every=3)
+    hm_packed = pack_heatmaps(jnp.asarray(hm), spec)
+    assert hm_packed.shape == (2, spec.n_views, spec.hp, spec.wp * 16)
+    ours = np.asarray(sample_tiles(hm_packed, jnp.asarray(coords), spec))
+    ref = np.asarray(_xla_reference(jnp.asarray(hm), jnp.asarray(coords), spec))
+    np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+
+def test_nondivisible_heatmap_dims():
+    """H/W not divisible by 8 get zero-padded in pack_heatmaps — sampling
+    the pad rows/cols reproduces zeros-padding bilinear bit-exactly, and
+    window clip bounds stay non-negative (the round-2 advisor finding)."""
+    spec = _spec(height=30, width=38, window_x=40, window_y=32)
+    assert spec.hp == 32 and spec.wp == 40
+    assert spec.xw == 40 and spec.yw == 32  # clipped to the padded dims
+    hm, coords = _random_case(spec, nb=5, jitter=6, seed=3)
     hm_packed = pack_heatmaps(jnp.asarray(hm), spec)
     ours = np.asarray(sample_tiles(hm_packed, jnp.asarray(coords), spec))
     ref = np.asarray(_xla_reference(jnp.asarray(hm), jnp.asarray(coords), spec))
@@ -126,7 +182,6 @@ def test_individual_projection_pallas_matches_quad():
     bbox = rng.uniform(0.3, 0.9, (K, 2)).astype(np.float32)
     valid = jnp.asarray([True, True, False])
 
-    quads = build_quad_table(jnp.asarray(hm[0]))
     quads = jax.vmap(build_quad_table)(jnp.asarray(hm))
     ref = project_individual_planes(geom, quads, cams, tl, bbox, valid)
 
@@ -153,11 +208,34 @@ def test_resolve_sampling_spec_auto_cpu_is_quad():
     cfg.NETWORK.PALLAS_TILE = (8, 8, 8)
     spec = resolve_sampling_spec(cfg)
     assert spec is not None and spec.interpret
-    assert spec.jp == 16
+    assert spec.jp == 16 and spec.groups == 1
 
-    cfg.DATASET.NUM_JOINTS = 17  # COCO heads don't fit the kernel yet
-    with pytest.raises(ValueError):
-        resolve_sampling_spec(cfg)
+    cfg.DATASET.NUM_JOINTS = 17  # COCO heads pack into two lane groups
+    spec17 = resolve_sampling_spec(cfg)
+    assert spec17 is not None and spec17.groups == 2
+
+
+def test_resolve_sampling_spec_shelf_profile():
+    """The real Shelf config (COCO-17, 200x152 heatmaps) resolves to a
+    kernel spec since round 3 (the round-2 J<=16 + whole-heatmap-VMEM
+    gates are lifted by lane grouping)."""
+    import pathlib
+
+    from faster_voxelpose_tpu.config import load_config
+    from faster_voxelpose_tpu.models.faster_voxelpose import (
+        resolve_sampling_spec,
+    )
+
+    cfg = load_config(
+        pathlib.Path(__file__).parent.parent / "configs" / "shelf" / "jln64.yaml"
+    )
+    cfg.NETWORK.SAMPLING_BACKEND = "pallas"
+    cfg.NETWORK.PALLAS_INTERPRET = True
+    spec = resolve_sampling_spec(cfg)
+    assert spec is not None
+    assert spec.groups == 2 and spec.num_joints == 17
+    # one 16-joint group of 5-view 200x152 heatmaps is VMEM-resident
+    assert spec.n_views * spec.hp * spec.wp * 16 * 4 <= 12 * 2**20
 
 
 def test_whole_projection_pallas_matches_quad():
@@ -195,30 +273,70 @@ def test_whole_projection_pallas_matches_quad():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=5e-6)
 
 
-@pytest.mark.parametrize("anchor", ["min", "center"])
-def test_padded_tile_and_anchor_modes(anchor):
-    """Tiles whose sample count is not 128-aligned get edge-padded lanes;
-    both window-anchor modes reproduce the reference bilinear."""
-    from faster_voxelpose_tpu.ops.pallas_sampling import sample_tiles
+def test_whole_projection_exact_near_camera():
+    """The round-2 kernel lost up to ~0.1 on bins in the 1.0-1.5m
+    frustum shell of a camera (docs/DESIGN.md).  With the full-cover
+    slow path, a rig with a camera 0.8m from the volume matches the quad
+    path on ALL bins to float32 accuracy."""
+    from faster_voxelpose_tpu.geometry.cameras import pack_rig
+    from tests.test_model_parity import build_our_config
+    from __graft_entry__ import _example_cameras
+    from faster_voxelpose_tpu.models.projection import (
+        make_projection_geometry,
+        project_whole_pallas,
+        project_whole,
+    )
+    from faster_voxelpose_tpu.ops.sampling import build_quad_table
 
-    spec = _spec(tile=(4, 4, 4), anchor=anchor)  # 64 samples -> pad to 128
-    assert spec.padded_samples == 128
-    rng = np.random.RandomState(3)
-    hm = rng.rand(spec.n_views, spec.height, spec.width, spec.num_joints)
-    hm = hm.astype(np.float32)
-    nb, s = 5, spec.samples
-    centers = np.stack(
+    cfg = build_our_config()
+    geom = make_projection_geometry(cfg)
+    V, J = cfg.DATASET.CAMERA_NUM, cfg.DATASET.NUM_JOINTS
+    W, H = cfg.DATASET.HEATMAP_SIZE
+
+    spec = SampleKernelSpec(
+        n_views=V, height=H, width=W, num_joints=J,
+        tile=(4, 4, 8), window_x=16, window_y=16,  # tiny: force slow path
+        exact=True, interpret=True,
+    )
+
+    rng = np.random.RandomState(4)
+    hm = rng.rand(V, H, W, J).astype(np.float32)
+    cams = np.asarray(_example_cameras(1, V)[0]).copy()
+    # move camera 0 to 800mm from the space center, looking through the
+    # volume: many bins sit closer than 1m / behind the image plane
+    center = np.asarray(cfg.CAPTURE_SPEC.SPACE_CENTER)
+    near = pack_rig(
         [
-            rng.uniform(-6, spec.width + 6, (nb, spec.n_views, 1)),
-            rng.uniform(-6, spec.height + 6, (nb, spec.n_views, 1)),
-        ],
-        axis=2,
-    )
-    coords = (centers + rng.uniform(-4, 4, (nb, spec.n_views, 2, s))).astype(
-        np.float32
-    )
+            {
+                "R": np.eye(3),
+                "T": (center + np.array([0.0, -800.0, 0.0]))[:, None],
+                "fx": 260.0,
+                "fy": 260.0,
+                "cx": W / 2.0,
+                "cy": H / 2.0,
+                "k": np.zeros((3, 1)),
+                "p": np.zeros((2, 1)),
+            }
+        ]
+    )[0]
+    cams[0] = near
+    cams = jnp.asarray(cams)
+
+    quads = jax.vmap(build_quad_table)(jnp.asarray(hm))
+    ref = project_whole(geom, quads, cams)
+    hm_packed = pack_heatmaps(jnp.asarray(hm), spec)
+    ours = project_whole_pallas(geom, hm_packed, cams, spec)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_padded_tile_lanes():
+    """Tiles whose sample count is not 128-aligned get edge-padded lanes
+    and still reproduce the reference bilinear."""
+    spec = _spec(tile=(4, 4, 4))  # 64 samples -> pad to 128
+    assert spec.padded_samples == 128
+    hm, coords = _random_case(spec, nb=5, jitter=4, seed=3)
     hp = pack_heatmaps(jnp.asarray(hm), spec)
     ours = np.asarray(sample_tiles(hp, jnp.asarray(coords), spec))
-    assert ours.shape == (nb, spec.jp, s)
+    assert ours.shape == (5, spec.jp_total, spec.samples)
     ref = np.asarray(_xla_reference(jnp.asarray(hm), jnp.asarray(coords), spec))
     np.testing.assert_allclose(ours, ref, atol=5e-6)

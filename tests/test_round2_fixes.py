@@ -228,8 +228,11 @@ class _IdxDataset:
 
 def test_multihost_loader_partitions_disjointly():
     """Simulated 2-host pod: the two per-process loaders see disjoint
-    records whose union is the full dataset, every epoch, including under
-    shuffling (both hosts draw the same seeded permutation)."""
+    records and EQUAL record counts (n // process_count each — a host
+    with one extra batch would run one extra collective step and
+    deadlock SPMD training), every epoch, including under shuffling
+    (both hosts draw the same seeded permutation).  The < process_count
+    remainder records rotate across shuffled epochs."""
     from faster_voxelpose_tpu.engine.loader import DataLoader
 
     n = 23
@@ -246,7 +249,28 @@ def test_multihost_loader_partitions_disjointly():
             for batch in loader:
                 seen[p].update(batch["idx"][batch["_valid"]].ravel().tolist())
         assert seen[0].isdisjoint(seen[1]), "hosts overlap"
-        assert seen[0] | seen[1] == set(range(n)), "records dropped"
+        assert len(seen[0]) == len(seen[1]) == n // 2, "unequal host shares"
+        assert (seen[0] | seen[1]) <= set(range(n))
+
+
+def test_multihost_loader_equal_batch_counts():
+    """Every host yields the SAME number of batches for any (n, pc, bs),
+    drop_last or not — the round-2 advisor's pod-deadlock finding (e.g.
+    n=103, pc=2, bs=4 used to give 13 vs 12 batches)."""
+    from faster_voxelpose_tpu.engine.loader import DataLoader
+
+    for n, pc, bs in [(103, 2, 4), (23, 2, 4), (17, 4, 4), (64, 3, 8)]:
+        for drop_last in (False, True):
+            counts = []
+            for p in range(pc):
+                ld = DataLoader(
+                    _IdxDataset(n), batch_size=bs, drop_last=drop_last,
+                    process_count=pc, process_index=p,
+                )
+                batches = list(ld)
+                assert len(batches) == len(ld)
+                counts.append(len(batches))
+            assert len(set(counts)) == 1, (n, pc, bs, drop_last, counts)
 
 
 def test_multihost_loader_len_and_drop_last():
