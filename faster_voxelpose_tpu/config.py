@@ -105,10 +105,11 @@ class NetworkConfig:
     # speedup (and the per-frame quad tables disappear entirely when both
     # stages run through the kernel).
     PALLAS_WHOLE: bool = True
-    PALLAS_WHOLE_TILE: Tuple[int, int, int] = (4, 4, 20)
-    # x window 64 keeps the kernel VMEM working set under the Mosaic
-    # budget at the 240x128 Panoptic profile (the t intermediate scales
-    # with xw); tiles that exceed it just take the exact cover loop
+    # swept on v5e (scripts/sweep_whole.py, Panoptic 80x80x20 @ 240x128):
+    # full-z 8x8x20 pillars (1280 samples, no lane padding) at x-window
+    # 64 run 2.8ms vs 6.7ms quad+table, exact, with 72% of (tile, view)
+    # blocks on the anchored fast path and the rest on the exact cover
+    PALLAS_WHOLE_TILE: Tuple[int, int, int] = (8, 8, 20)
     PALLAS_WHOLE_WINDOW: Tuple[int, int] = (64, 1024)  # y: clipped to Hp
 
 

@@ -101,14 +101,16 @@ def resolve_whole_sampling_spec(cfg: Config, crop_spec):
         window_y=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[1]),
     )
     # VMEM working-set estimate: resident heatmap group + window slice +
-    # the stage-1 output (double-buffered).  Over ~14MB the Mosaic stack
-    # OOMs (observed at the 200x152 demo profile with 120-wide windows).
+    # the stage-1 output (double-buffered).  The 8x8x20-pillar default
+    # measures 20.9MB at the 240x128 profile and compiles/runs on v5e
+    # (scripts/sweep_whole.py); past ~24MB the Mosaic stack rejects the
+    # kernel at compile time, so 'auto' falls back to quad before that.
     vmem = 4 * (
         spec.n_views * spec.hp * spec.wp * spec.jp  # hm group resident
         + spec.yw * spec.xw * spec.jp  # window slice
         + 2 * spec.xw * spec.jp * spec.padded_samples  # t intermediate
     )
-    if vmem > 14 * 2**20:
+    if vmem > 24 * 2**20:
         return None
     return spec
 

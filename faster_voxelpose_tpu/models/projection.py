@@ -425,8 +425,28 @@ def project_individual_planes_pallas(
     n = offs.shape[0]
     s = spec.samples
     nb = n // s
-    # valid=None computes every slot unconditionally (no prefetch gating)
-    bvalid = None if valid is None else jnp.repeat(valid.astype(jnp.int32), nb)
+
+    # axis-separable bbox mask, shared by dead-tile gating and the
+    # epilogue multiply (reference project_individual.py:114-121)
+    mx, my, mz = jax.vmap(lambda tl, bb: crop_axis_masks(geom, tl, bb))(
+        centers_tl, bbox_sizes
+    )  # (K, vx), (K, vy), (K, vz) bool
+
+    # dead-tile gating: every voxel of a tile whose x- or y- or z-slab
+    # falls fully outside the bbox is zeroed by the epilogue mask anyway,
+    # so such tiles skip sampling entirely (output-identical; typical
+    # bboxes kill 55-75% of each 64^3 crop, the dominant JLN cost).
+    # Tile order is x-major (tile_offsets_np), matching this reshape.
+    lx = mx.reshape(K, ntx, tx).any(-1)
+    ly = my.reshape(K, nty, ty).any(-1)
+    lz = mz.reshape(K, ntz, tz).any(-1)
+    live = (
+        lx[:, :, None, None] & ly[:, None, :, None] & lz[:, None, None, :]
+    ).reshape(K, nb)
+    pvalid = (
+        jnp.ones((K, 1), bool) if valid is None else valid[:, None]
+    )
+    bvalid = (live & pvalid).astype(jnp.int32).reshape(K * nb)
 
     fine = jnp.asarray(geom.fine_voxels_per_axis, jnp.float32)
     space = jnp.asarray(geom.space_size, jnp.float32)
@@ -457,10 +477,7 @@ def project_individual_planes_pallas(
     blocks = jax.vmap(person_coords)(centers_tl).reshape(K * nb, -1, 2, s)
     vals = sample_tiles(hm_packed, blocks, spec, valid=bvalid)  # (K*nb,JP,S)
 
-    # axis-separable bbox mask + max-projections in tile-blocked layout
-    mx, my, mz = jax.vmap(lambda tl, bb: crop_axis_masks(geom, tl, bb))(
-        centers_tl, bbox_sizes
-    )  # (K, vx), (K, vy), (K, vz)
+    # bbox mask + max-projections in tile-blocked layout
     v8 = vals.reshape(K, ntx, nty, ntz, jp, tx, ty, tz)
     v8 = v8 * mx.reshape(K, ntx, 1, 1, 1, tx, 1, 1)
     v8 = v8 * my.reshape(K, 1, nty, 1, 1, 1, ty, 1)

@@ -210,117 +210,151 @@ def _window_contrib(win, x, y, ox, oy, lx, ly, spec: SampleKernelSpec):
         p3 = t.reshape(xw, jp, s) * wx[:, None, :]
         return jnp.sum(p3, axis=0)
 
-    # fast path: bf16 multiplies on the VPU, the x reduction rides the
-    # MXU against a constant 0/1 joint-selector (sel[x*jp+j, j'] = j==j';
-    # 0/1 x bf16 products are exact, accumulation is f32)
-    p3 = t.astype(jnp.bfloat16).reshape(xw, jp, s) * wx.astype(jnp.bfloat16)[
-        :, None, :
+    # fast path: bf16 VPU multiply + sublane reduction.  (A selector-
+    # matmul x-reduction was tried and measured SLOWER: with M=jp=16 the
+    # 128-wide MXU pads 87% of its work, doubling total MXU time.)
+    if spec.vpu_bf16:
+        p3 = t.astype(jnp.bfloat16).reshape(xw, jp, s) * wx.astype(
+            jnp.bfloat16
+        )[:, None, :]
+        return jnp.sum(p3, axis=0).astype(jnp.float32)
+    p3 = t.reshape(xw, jp, s) * wx[:, None, :]
+    return jnp.sum(p3, axis=0)
+
+
+def _slice_win(hm_ref, v, ox, oy, spec):
+    return hm_ref[
+        v,
+        pl.ds(pl.multiple_of(oy, 8), spec.yw),
+        pl.ds(pl.multiple_of(ox * spec.jp, 128), spec.xw * spec.jp),
     ]
-    p3r = p3.reshape(xw * jp, s)
-    r = jax.lax.broadcasted_iota(jnp.int32, (xw * jp, jp), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (xw * jp, jp), 1)
-    sel = ((r & (jp - 1)) == c).astype(jnp.bfloat16)
-    return jax.lax.dot_general(
-        sel,
-        p3r,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (JP, S)
 
 
-def _view_accumulate(out_ref, x, y, hm_ref, v, spec: SampleKernelSpec):
-    """Accumulate one view's bilinear samples for a tile into out_ref.
+def compute_window_flags(coords: jnp.ndarray, spec: SampleKernelSpec):
+    """Anchored window origins + exactness flags + support bounds for
+    every (tile, view), packed into (NB, V, 3) int32 for the kernel.
 
-    Picks, in-kernel, between the anchored fast window (exact iff every
-    sample's in-image pixel support fits it — checked here) and the
-    disjoint full-cover slow path (exact for ANY coordinates).
+    Runs as ONE fused XLA pass over all tiles — in-kernel per-tile
+    cross-lane reductions for the same quantities measured ~4ms/frame
+    on the Panoptic JLN pass.
+
+    The in-image pixel support of a sample is [max(floor, 0),
+    min(floor+1, dim-1)] (empty for fully out-of-image samples, which
+    contribute zero either way and are excluded from the anchor).  The
+    anchored window is exact iff it covers every support pixel; since
+    the clipped origin can only sit at or below the support minimum,
+    only the upper edge needs checking.
+
+    Packing: word0 = ox//8 | (oy//8)<<12 | fast<<24;
+             word1 = (ax+1) | (bx+1)<<16;  word2 = (ay+1) | (by+1)<<16.
     """
-    xw, yw, jp = spec.xw, spec.yw, spec.jp
-    wp, hp = spec.wp, spec.hp
     w, h = spec.width, spec.height
-    nx, ny = spec.nx, spec.ny
+    xw, yw = spec.xw, spec.yw
+    wp, hp = spec.wp, spec.hp
+    x = coords[:, :, 0, :]
+    y = coords[:, :, 1, :]
 
-    def slice_win(ox, oy):
-        return hm_ref[
-            v,
-            pl.ds(pl.multiple_of(oy, 8), yw),
-            pl.ds(pl.multiple_of(ox * jp, 128), xw * jp),
-        ]
-
-    if nx == 1 and ny == 1:
-        # window = whole padded image: always exact, no flag needed
-        out_ref[0] += _window_contrib(
-            slice_win(0, 0), x, y, 0, 0, 0, 0, spec
-        )
-        return
-
-    # in-image pixel support of each sample: [max(floor,0), min(floor+1,
-    # dim-1)]; empty-support samples are excluded from both the anchor
-    # and the exactness check (their contribution is zero either way)
-    def support(v, dim):
+    def support_bounds(v, dim):
         lo = jnp.floor(v)
         hi = lo + 1.0
         nonempty = (hi >= 0.0) & (lo <= dim - 1.0)
         cov_lo = jnp.where(nonempty, jnp.maximum(lo, 0.0), float(dim))
         cov_hi = jnp.where(nonempty, jnp.minimum(hi, dim - 1.0), -1.0)
-        return cov_lo, cov_hi
-
-    cov_lo_x, cov_hi_x = support(x, w)
-    cov_lo_y, cov_hi_y = support(y, h)
-    ax = jnp.min(cov_lo_x)
-    bx = jnp.max(cov_hi_x)
-    ay = jnp.min(cov_lo_y)
-    by = jnp.max(cov_hi_y)
-    # anchored window origin: quantized down to 8 (slice alignment),
-    # clipped into the padded image
-    ox = ((jnp.clip(ax, 0.0, float(wp - xw)).astype(jnp.int32)) // 8) * 8
-    oy = ((jnp.clip(ay, 0.0, float(hp - yw)).astype(jnp.int32)) // 8) * 8
-    # ox <= ax always (clip can only lower it), so exactness reduces to
-    # the upper edge: the last supported pixel fits the window
-    fast = (bx.astype(jnp.int32) <= ox + (xw - 1)) & (
-        by.astype(jnp.int32) <= oy + (yw - 1)
-    )
-
-    @pl.when(fast)
-    def _():
-        oxk = pl.multiple_of(ox, 8)
-        oyk = pl.multiple_of(oy, 8)
-        out_ref[0] += _window_contrib(
-            slice_win(oxk, oyk), x, y, oxk, oyk, 0, 0, spec
+        return (
+            jnp.min(cov_lo, axis=-1).astype(jnp.int32),
+            jnp.max(cov_hi, axis=-1).astype(jnp.int32),
         )
 
-    @pl.when(jnp.logical_not(fast))
-    def _():
-        # exact cover: disjoint windows tile the padded image; the final
-        # window of each axis is clipped back inside and its overlap
-        # zero-masked via the logical starts lx/ly
-        def body(k, acc):
-            ky = k // nx
-            kx = k - ky * nx
-            lyk = ky * yw
-            lxk = kx * xw
-            oyk = pl.multiple_of(jnp.minimum(lyk, hp - yw), 8)
-            oxk = pl.multiple_of(jnp.minimum(lxk, wp - xw), 8)
-            return acc + _window_contrib(
-                slice_win(oxk, oyk), x, y, oxk, oyk, lxk, lyk, spec
+    ax, bx = support_bounds(x, w)  # (NB, V)
+    ay, by = support_bounds(y, h)
+    ox8 = jnp.clip(ax, 0, wp - xw) // 8
+    oy8 = jnp.clip(ay, 0, hp - yw) // 8
+    fast = (bx <= ox8 * 8 + (xw - 1)) & (by <= oy8 * 8 + (yw - 1))
+    w0 = ox8 | (oy8 << 12) | (fast.astype(jnp.int32) << 24)
+    w1 = (ax + 1) | ((bx + 1) << 16)
+    w2 = (ay + 1) | ((by + 1) << 16)
+    return jnp.stack([w0, w1, w2], axis=-1)  # (NB, V, 3) int32
+
+
+def _unpack_flags(flags_ref, v):
+    w0 = flags_ref[0, v, 0]
+    w1 = flags_ref[0, v, 1]
+    w2 = flags_ref[0, v, 2]
+    ox = pl.multiple_of((w0 & 0xFFF) * 8, 8)
+    oy = pl.multiple_of(((w0 >> 12) & 0xFFF) * 8, 8)
+    fast = (w0 >> 24) > 0
+    bounds = (
+        (w1 & 0xFFFF) - 1,
+        (w1 >> 16) - 1,
+        (w2 & 0xFFFF) - 1,
+        (w2 >> 16) - 1,
+    )
+    return ox, oy, fast, bounds
+
+
+def _cover_accumulate(out_ref, x, y, hm_ref, v, bounds, spec):
+    """Exact full-cover accumulation for one (tile, view): disjoint
+    windows tile the padded image; the final window of each axis is
+    clipped back inside and its overlap zero-masked via the logical
+    starts lx/ly.  Windows that cannot intersect the tile's support
+    range are skipped, so a footprint only slightly larger than one
+    window costs ~2 windows, not ny*nx."""
+    xw, yw = spec.xw, spec.yw
+    wp, hp = spec.wp, spec.hp
+    nx, ny = spec.nx, spec.ny
+    axi, bxi, ayi, byi = bounds
+
+    def body(k, carry):
+        ky = k // nx
+        kx = k - ky * nx
+        lyk = ky * yw
+        lxk = kx * xw
+        oyk = pl.multiple_of(jnp.minimum(lyk, hp - yw), 8)
+        oxk = pl.multiple_of(jnp.minimum(lxk, wp - xw), 8)
+        hit = (
+            (bxi >= lxk)
+            & (axi <= oxk + (xw - 1))
+            & (byi >= lyk)
+            & (ayi <= oyk + (yw - 1))
+        )
+
+        @pl.when(hit)
+        def _():
+            out_ref[0] += _window_contrib(
+                _slice_win(hm_ref, v, oxk, oyk, spec), x, y, oxk, oyk,
+                lxk, lyk, spec,
             )
 
-        out_ref[0] += jax.lax.fori_loop(
-            0,
-            ny * nx,
-            body,
-            jnp.zeros((jp, spec.padded_samples), jnp.float32),
-        )
+        return carry
+
+    jax.lax.fori_loop(0, ny * nx, body, jnp.int32(0))
 
 
-def _kernel_body(valid_ref, coords_ref, hm_ref, out_ref, *, spec):
+def _kernel_body(valid_ref, *refs, spec):
     """Grid step = one tile: camera-mean of per-view bilinear samples.
 
     Invalid blocks (undetected proposal slots) write zeros and skip all
     sampling math, so JLN cost scales with the number of DETECTED people
     like the reference's valid-only loop (joint_localization_net.py:77).
+
+    Structure: the anchored-window contribution runs UNCONDITIONALLY for
+    every view and accumulates in registers, multiplied by the view's
+    precomputed exactness flag (a broadcast 0/1 — wrong fast values of
+    slow views are zeroed for ~8k multiplies, not a branch).  Only views
+    whose flag failed then add their exact hit-skipped cover
+    contribution through the output ref.  The common all-fast path is
+    branch-free with a single output write; flags/anchors arrive
+    precomputed (compute_window_flags) so the kernel does no cross-lane
+    reductions.
     """
+    single = spec.nx == 1 and spec.ny == 1
+    if single:
+        coords_ref, hm_ref, out_ref = refs
+        flags_ref = None
+    else:
+        flags_ref, coords_ref, hm_ref, out_ref = refs
     i = pl.program_id(0)
+    V = spec.n_views
 
     @pl.when(valid_ref[i] <= 0)
     def _():
@@ -328,14 +362,35 @@ def _kernel_body(valid_ref, coords_ref, hm_ref, out_ref, *, spec):
 
     @pl.when(valid_ref[i] > 0)
     def _():
-        out_ref[0] = jnp.zeros((spec.jp, spec.padded_samples), jnp.float32)
-        for v in range(spec.n_views):
+        acc = jnp.zeros((spec.jp, spec.padded_samples), jnp.float32)
+        slow_views = []
+        for v in range(V):
             x = coords_ref[0, v, 0, :]
             y = coords_ref[0, v, 1, :]
-            _view_accumulate(out_ref, x, y, hm_ref, v, spec)
-        out_ref[0] = jnp.clip(
-            out_ref[0] * (1.0 / spec.n_views), 0.0, 1.0
-        )
+            if single:
+                # window = whole padded image: always exact
+                acc += _window_contrib(
+                    _slice_win(hm_ref, v, 0, 0, spec), x, y, 0, 0, 0, 0,
+                    spec,
+                )
+                continue
+            ox, oy, fast, bounds = _unpack_flags(flags_ref, v)
+            slow_views.append((x, y, fast, bounds))
+            acc += _window_contrib(
+                _slice_win(hm_ref, v, ox, oy, spec), x, y, ox, oy, 0, 0,
+                spec,
+            ) * fast.astype(jnp.float32)
+
+        out_ref[0] = acc
+        if not single:
+            for v in range(V):
+                x, y, fast, bounds = slow_views[v]
+
+                @pl.when(jnp.logical_not(fast))
+                def _(x=x, y=y, v=v, bounds=bounds):
+                    _cover_accumulate(out_ref, x, y, hm_ref, v, bounds, spec)
+
+        out_ref[0] = jnp.clip(out_ref[0] * (1.0 / V), 0.0, 1.0)
 
 
 def _sample_tiles_group(
@@ -343,22 +398,34 @@ def _sample_tiles_group(
     coords: jnp.ndarray,  # (NB, V, 2, S) padded-sample pixel coords
     spec: SampleKernelSpec,
     valid: jnp.ndarray,  # (NB,) int32
+    flags: jnp.ndarray,  # (NB, V, 3) int32 or None when single-window
 ) -> jnp.ndarray:  # (NB, JP, S)
     nb = coords.shape[0]
     V = spec.n_views
     s = spec.padded_samples
+    single = flags is None
     out_shape = jax.ShapeDtypeStruct((nb, spec.jp, s), jnp.float32)
     kern = functools.partial(_kernel_body, spec=spec)
+    in_specs = [
+        pl.BlockSpec(
+            (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # heatmaps resident
+    ]
+    args = [valid, coords, hm_group]
+    if not single:
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (1, V, 3), lambda i, _v: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        args = [valid, flags, coords, hm_group]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # heatmaps resident
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, spec.jp, s), lambda i, _v: (i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -369,7 +436,7 @@ def _sample_tiles_group(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=spec.interpret,
-    )(valid, coords, hm_group)
+    )(*args)
 
 
 def sample_tiles(
@@ -394,8 +461,10 @@ def sample_tiles(
         valid = jnp.ones((nb,), jnp.int32)
     else:
         valid = valid.astype(jnp.int32)
+    single = spec.nx == 1 and spec.ny == 1
+    flags = None if single else compute_window_flags(coords, spec)
     outs = [
-        _sample_tiles_group(hm_packed[g], coords, spec, valid)
+        _sample_tiles_group(hm_packed[g], coords, spec, valid, flags)
         for g in range(spec.groups)
     ]
     out = outs[0] if spec.groups == 1 else jnp.concatenate(outs, axis=1)
