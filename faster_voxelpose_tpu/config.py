@@ -92,8 +92,13 @@ class NetworkConfig:
     # pure speed knob (ops/pallas_sampling.py).  Defaults swept on v5e
     # (scripts/sweep_planes.py): large tiles amortize per-block fixed
     # costs; the windows keep the fast path down to ~2m camera distance.
-    PALLAS_TILE: Tuple[int, int, int] = (8, 8, 8)
-    PALLAS_WINDOW: Tuple[int, int] = (40, 48)
+    # round-3 sweep (scripts/sweep_planes.py, bf16-packed heatmaps):
+    # tall-z (8,8,32) tiles with a full-height y window win (17.1ms vs
+    # 20.3 at (8,8,8)x(40,48) for the full K=10 crop pass) — the y
+    # contraction always pads its MXU K dim to 128, so a 128-tall window
+    # is free FLOPs and makes every tile y-exact
+    PALLAS_TILE: Tuple[int, int, int] = (8, 8, 32)
+    PALLAS_WINDOW: Tuple[int, int] = (48, 128)
     # f32-exact MXU passes (3x slower sampling); DEFAULT bf16 passes err
     # ~2e-3, below the bf16 conv stack's own noise
     PALLAS_EXACT: bool = False

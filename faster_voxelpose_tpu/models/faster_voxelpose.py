@@ -56,6 +56,9 @@ def resolve_sampling_spec(cfg: Config):
     J = cfg.DATASET.NUM_JOINTS
     V = cfg.DATASET.CAMERA_NUM
     tile = tuple(cfg.NETWORK.PALLAS_TILE)
+    exact = bool(cfg.NETWORK.PALLAS_EXACT)
+    # bf16-packed fast mode needs 16-aligned y windows (sublane tiles)
+    ysub = 8 if exact else 16
     spec = SampleKernelSpec(
         n_views=V,
         height=H,
@@ -63,14 +66,16 @@ def resolve_sampling_spec(cfg: Config):
         num_joints=J,
         tile=tile,
         window_x=int(cfg.NETWORK.PALLAS_WINDOW[0]),
-        window_y=int(cfg.NETWORK.PALLAS_WINDOW[1]),
-        exact=bool(cfg.NETWORK.PALLAS_EXACT),
+        window_y=-(-int(cfg.NETWORK.PALLAS_WINDOW[1]) // ysub) * ysub,
+        exact=exact,
         interpret=interpret and not on_tpu,
     )
     # one joint group's packed heatmaps must be VMEM-resident per launch
-    # (the bound is independent of J: extra joints become extra groups)
+    # (the bound is independent of J: extra joints become extra groups;
+    # fast mode stores bf16, halving the footprint)
+    itemsize = jnp.dtype(spec.pack_dtype).itemsize
     ok = (
-        V * spec.hp * spec.wp * spec.jp * 4 <= 12 * 2**20
+        V * spec.hp * spec.wp * spec.jp * itemsize <= 12 * 2**20
         and all(v % t == 0 for v, t in zip(cfg.INDIVIDUAL_SPEC.VOXELS_PER_AXIS, tile))
     )
     if not ok:
@@ -94,21 +99,23 @@ def resolve_whole_sampling_spec(cfg: Config, crop_spec):
     tile = tuple(cfg.NETWORK.PALLAS_WHOLE_TILE)
     if any(v % t for v, t in zip(cfg.CAPTURE_SPEC.VOXELS_PER_AXIS, tile)):
         return None
+    ysub = crop_spec.sub
     spec = dataclasses.replace(
         crop_spec,
         tile=tile,
         window_x=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[0]),
-        window_y=int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[1]),
+        window_y=-(-int(cfg.NETWORK.PALLAS_WHOLE_WINDOW[1]) // ysub) * ysub,
     )
     # VMEM working-set estimate: resident heatmap group + window slice +
     # the stage-1 output (double-buffered).  The 8x8x20-pillar default
     # measures 20.9MB at the 240x128 profile and compiles/runs on v5e
     # (scripts/sweep_whole.py); past ~24MB the Mosaic stack rejects the
     # kernel at compile time, so 'auto' falls back to quad before that.
-    vmem = 4 * (
-        spec.n_views * spec.hp * spec.wp * spec.jp  # hm group resident
-        + spec.yw * spec.xw * spec.jp  # window slice
-        + 2 * spec.xw * spec.jp * spec.padded_samples  # t intermediate
+    itemsize = jnp.dtype(spec.pack_dtype).itemsize
+    vmem = (
+        itemsize * spec.n_views * spec.hp * spec.wp * spec.jp  # hm resident
+        + itemsize * spec.yw * spec.xw * spec.jp  # window slice
+        + 2 * itemsize * spec.xw * spec.jp * spec.padded_samples  # t
     )
     if vmem > 24 * 2**20:
         return None

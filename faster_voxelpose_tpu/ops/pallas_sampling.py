@@ -103,10 +103,24 @@ class SampleKernelSpec:
         return self.groups * self.jp
 
     @property
+    def pack_dtype(self):
+        # fast mode stores packed heatmaps in bf16: halves the VMEM
+        # working set and HBM traffic, and the stage-1 MXU pass consumes
+        # the windows natively instead of casting f32->bf16 per
+        # (tile, view).  Exact mode keeps f32 end to end.
+        return jnp.float32 if self.exact or not self.vpu_bf16 else jnp.bfloat16
+
+    @property
+    def sub(self) -> int:
+        # sublane granularity of y-window origins: bf16 VMEM tiles are
+        # (16, 128), so bf16-packed slices need 16-aligned y origins
+        return 16 if self.pack_dtype == jnp.bfloat16 else 8
+
+    @property
     def hp(self) -> int:
         # zero-padded H: padding rows are zeros, which is exactly
         # grid_sample zeros-padding for samples past the image edge
-        return _round_up(self.height, 8)
+        return _round_up(self.height, self.sub)
 
     @property
     def wp(self) -> int:
@@ -141,13 +155,17 @@ class SampleKernelSpec:
         return -(-self.hp // self.yw)
 
     def validate(self):
-        if self.xw % 8 or self.yw % 8:
-            raise ValueError("windows must be multiples of 8")
+        if self.xw % 8 or self.yw % self.sub:
+            raise ValueError(
+                f"windows must be multiples of (8, {self.sub}) at dtype "
+                f"{self.pack_dtype}"
+            )
 
 
 def pack_heatmaps(heatmaps: jnp.ndarray, spec: SampleKernelSpec) -> jnp.ndarray:
-    """(V, H, W, J) -> (G, V, Hp, Wp*16) f32, lane layout x-major
-    joint-minor within each 16-joint group.
+    """(V, H, W, J) -> (G, V, Hp, Wp*16) in spec.pack_dtype (bf16 in
+    fast mode, f32 exact), lane layout x-major joint-minor within each
+    16-joint group.
 
     The y axis stays on sublanes (the MXU contraction dim); x and joints
     share lanes so an x window is one aligned contiguous lane slice.
@@ -157,7 +175,7 @@ def pack_heatmaps(heatmaps: jnp.ndarray, spec: SampleKernelSpec) -> jnp.ndarray:
     V, H, W, J = heatmaps.shape
     jp, G = spec.jp, spec.groups
     hmp = jnp.pad(
-        heatmaps.astype(jnp.float32),
+        heatmaps.astype(spec.pack_dtype),
         (
             (0, 0),
             (0, spec.hp - H),
@@ -191,6 +209,30 @@ def _window_contrib(win, x, y, ox, oy, lx, ly, spec: SampleKernelSpec):
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[None, :] - yif))  # (YW, S)
     wy = jnp.where(yi >= ly, wy, 0.0)
 
+    xi = jax.lax.broadcasted_iota(jnp.int32, (xw, s), 0) + ox
+    xif = xi.astype(jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - xif))  # (XW, S)
+    wx = jnp.where(xi >= lx, wx, 0.0)
+
+    if spec.pack_dtype == jnp.bfloat16:
+        # fast path, bf16 storage: the MXU consumes the bf16 window
+        # natively (no per-window f32->bf16 cast; Mosaic requires the
+        # accumulator itself to stay 32-bit); stage 2 is the bf16 VPU
+        # multiply + sublane reduction.  (A selector-matmul x-reduction
+        # was tried and measured SLOWER: with M=jp=16 the 128-wide MXU
+        # pads 87% of its work.)
+        t = jax.lax.dot_general(
+            win,
+            wy.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (XW*JP, S), rows x-major joint-minor
+        p3 = t.astype(jnp.bfloat16).reshape(xw, jp, s) * wx.astype(
+            jnp.bfloat16
+        )[:, None, :]
+        return jnp.sum(p3, axis=0).astype(jnp.float32)
+
     # y interpolation: one MXU contraction over the y window
     t = jax.lax.dot_general(
         win,
@@ -200,24 +242,8 @@ def _window_contrib(win, x, y, ox, oy, lx, ly, spec: SampleKernelSpec):
         precision=precision,
     )  # (XW*JP, S), rows x-major joint-minor
 
-    xi = jax.lax.broadcasted_iota(jnp.int32, (xw, s), 0) + ox
-    xif = xi.astype(jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - xif))  # (XW, S)
-    wx = jnp.where(xi >= lx, wx, 0.0)
-
-    if spec.exact:
-        # f32 multiply + sublane-sum: bit-stable parity path
-        p3 = t.reshape(xw, jp, s) * wx[:, None, :]
-        return jnp.sum(p3, axis=0)
-
-    # fast path: bf16 VPU multiply + sublane reduction.  (A selector-
-    # matmul x-reduction was tried and measured SLOWER: with M=jp=16 the
-    # 128-wide MXU pads 87% of its work, doubling total MXU time.)
-    if spec.vpu_bf16:
-        p3 = t.astype(jnp.bfloat16).reshape(xw, jp, s) * wx.astype(
-            jnp.bfloat16
-        )[:, None, :]
-        return jnp.sum(p3, axis=0).astype(jnp.float32)
+    # f32 multiply + sublane-sum: bit-stable parity path (exact mode)
+    # and the vpu_bf16=False fast mode
     p3 = t.reshape(xw, jp, s) * wx[:, None, :]
     return jnp.sum(p3, axis=0)
 
@@ -225,7 +251,7 @@ def _window_contrib(win, x, y, ox, oy, lx, ly, spec: SampleKernelSpec):
 def _slice_win(hm_ref, v, ox, oy, spec):
     return hm_ref[
         v,
-        pl.ds(pl.multiple_of(oy, 8), spec.yw),
+        pl.ds(pl.multiple_of(oy, spec.sub), spec.yw),
         pl.ds(pl.multiple_of(ox * spec.jp, 128), spec.xw * spec.jp),
     ]
 
@@ -245,12 +271,15 @@ def compute_window_flags(coords: jnp.ndarray, spec: SampleKernelSpec):
     the clipped origin can only sit at or below the support minimum,
     only the upper edge needs checking.
 
-    Packing: word0 = ox//8 | (oy//8)<<12 | fast<<24;
+    Packing: word0 = ox//8 | (oy//sub)<<12 | fast<<24;
              word1 = (ax+1) | (bx+1)<<16;  word2 = (ay+1) | (by+1)<<16.
+    (x origins quantize to 8 — the lane offset ox*jp is then 128-aligned —
+    while y origins quantize to the dtype sublane granularity spec.sub.)
     """
     w, h = spec.width, spec.height
     xw, yw = spec.xw, spec.yw
     wp, hp = spec.wp, spec.hp
+    sub = spec.sub
     x = coords[:, :, 0, :]
     y = coords[:, :, 1, :]
 
@@ -268,20 +297,20 @@ def compute_window_flags(coords: jnp.ndarray, spec: SampleKernelSpec):
     ax, bx = support_bounds(x, w)  # (NB, V)
     ay, by = support_bounds(y, h)
     ox8 = jnp.clip(ax, 0, wp - xw) // 8
-    oy8 = jnp.clip(ay, 0, hp - yw) // 8
-    fast = (bx <= ox8 * 8 + (xw - 1)) & (by <= oy8 * 8 + (yw - 1))
-    w0 = ox8 | (oy8 << 12) | (fast.astype(jnp.int32) << 24)
+    oyq = jnp.clip(ay, 0, hp - yw) // sub
+    fast = (bx <= ox8 * 8 + (xw - 1)) & (by <= oyq * sub + (yw - 1))
+    w0 = ox8 | (oyq << 12) | (fast.astype(jnp.int32) << 24)
     w1 = (ax + 1) | ((bx + 1) << 16)
     w2 = (ay + 1) | ((by + 1) << 16)
     return jnp.stack([w0, w1, w2], axis=-1)  # (NB, V, 3) int32
 
 
-def _unpack_flags(flags_ref, v):
+def _unpack_flags(flags_ref, v, spec):
     w0 = flags_ref[0, v, 0]
     w1 = flags_ref[0, v, 1]
     w2 = flags_ref[0, v, 2]
     ox = pl.multiple_of((w0 & 0xFFF) * 8, 8)
-    oy = pl.multiple_of(((w0 >> 12) & 0xFFF) * 8, 8)
+    oy = pl.multiple_of(((w0 >> 12) & 0xFFF) * spec.sub, spec.sub)
     fast = (w0 >> 24) > 0
     bounds = (
         (w1 & 0xFFFF) - 1,
@@ -309,7 +338,7 @@ def _cover_accumulate(out_ref, x, y, hm_ref, v, bounds, spec):
         kx = k - ky * nx
         lyk = ky * yw
         lxk = kx * xw
-        oyk = pl.multiple_of(jnp.minimum(lyk, hp - yw), 8)
+        oyk = pl.multiple_of(jnp.minimum(lyk, hp - yw), spec.sub)
         oxk = pl.multiple_of(jnp.minimum(lxk, wp - xw), 8)
         hit = (
             (bxi >= lxk)
@@ -374,7 +403,7 @@ def _kernel_body(valid_ref, *refs, spec):
                     spec,
                 )
                 continue
-            ox, oy, fast, bounds = _unpack_flags(flags_ref, v)
+            ox, oy, fast, bounds = _unpack_flags(flags_ref, v, spec)
             slow_views.append((x, y, fast, bounds))
             acc += _window_contrib(
                 _slice_win(hm_ref, v, ox, oy, spec), x, y, ox, oy, 0, 0,

@@ -75,22 +75,23 @@ def main():
     valid = jnp.ones((K,), bool)
 
     variants = [
-        # round-3 kernel: vpu_bf16 + selector-MXU x-reduction are the
-        # default fast mode; exactness holds for every variant (cover loop)
+        # round-3 kernel: bf16-packed heatmaps are the default fast mode
+        # (16-aligned y windows); exactness holds for every variant
+        # (cover loop)
         ("t888_w4048 (default)", dict(tile=(8, 8, 8), window_x=40, window_y=48), True),
-        ("t888_w3240", dict(tile=(8, 8, 8), window_x=32, window_y=40), True),
+        ("t888_w3248", dict(tile=(8, 8, 8), window_x=32, window_y=48), True),
         ("t888_w2432", dict(tile=(8, 8, 8), window_x=24, window_y=32), True),
-        ("t8816_w4048", dict(tile=(8, 8, 16), window_x=40, window_y=48), True),
-        ("t8816_w3240", dict(tile=(8, 8, 16), window_x=32, window_y=40), True),
-        ("t8832_w4856", dict(tile=(8, 8, 32), window_x=48, window_y=56), True),
+        ("t8816_w4064", dict(tile=(8, 8, 16), window_x=40, window_y=64), True),
+        ("t8816_w4880", dict(tile=(8, 8, 16), window_x=48, window_y=80), True),
+        ("t8832_w48128", dict(tile=(8, 8, 32), window_x=48, window_y=128), True),
+        ("t8864_w48128", dict(tile=(8, 8, 64), window_x=48, window_y=128), True),
         ("t16168_w5648", dict(tile=(16, 16, 8), window_x=56, window_y=48), True),
-        # M-shrink: stage-1 MXU cost/sample = xw*jp*256 flops (the y
-        # contraction pads to K=128 for free) — narrow x windows with
-        # tall y windows cut the dominant matmul, at the price of more
-        # tiles taking the (hit-skipped) x cover loop
+        # M-shrink: narrow x windows with tall y windows cut the dominant
+        # matmul, at the price of more tiles taking the x cover loop
         ("t888_w2464", dict(tile=(8, 8, 8), window_x=24, window_y=64), True),
-        ("t888_w3264", dict(tile=(8, 8, 8), window_x=32, window_y=64), True),
         ("t888_w24128", dict(tile=(8, 8, 8), window_x=24, window_y=128), True),
+        ("t888_w4048_f32", dict(tile=(8, 8, 8), window_x=40, window_y=48,
+                                vpu_bf16=False), True),
         ("t888_w4048_exact", dict(tile=(8, 8, 8), window_x=40, window_y=48,
                                   exact=True), True),
     ]
