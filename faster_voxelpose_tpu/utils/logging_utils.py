@@ -55,11 +55,20 @@ def create_logger(cfg, cfg_name: str, phase: str = "train") -> Tuple[logging.Log
 
 
 class ScalarWriter:
-    """Append-only JSONL scalar stream ({tag, value, step, wall})."""
+    """Append-only JSONL scalar stream ({tag, value, step, wall}), teed
+    into a TensorBoard event file in the same dir (the reference streams
+    scalars to tensorboardX, lib/utils/utils.py:44-50 — `tensorboard
+    --logdir` works on ours the same way; see utils/tb_events.py)."""
 
-    def __init__(self, log_dir: str, filename: str = "scalars.jsonl"):
+    def __init__(self, log_dir: str, filename: str = "scalars.jsonl",
+                 tensorboard: bool = True):
         self.path = os.path.join(log_dir, filename)
         self._fh = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            from .tb_events import TBEventWriter
+
+            self._tb = TBEventWriter(log_dir)
 
     def add_scalar(self, tag: str, value, step: int):
         self._fh.write(
@@ -69,6 +78,10 @@ class ScalarWriter:
             + "\n"
         )
         self._fh.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
 
     def close(self):
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
