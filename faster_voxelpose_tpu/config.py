@@ -51,6 +51,11 @@ class DatasetConfig:
     NUM_JOINTS: int = 15
     # int (single root joint) or list of two joint ids whose mean is the root
     ROOT_JOINT_ID: Union[int, List[int]] = 2
+    # 'gt' heatmap sources: rasterize the Gaussians on DEVICE inside the
+    # jitted step (ops/heatmap_render.py) instead of on the host — the
+    # dataset then yields a (V, MAX_PEOPLE, J, 12) 'hm_params' tensor
+    # (41KB/sample) in place of 'input_heatmaps' (10MB/sample)
+    DEVICE_RENDER: bool = False
 
     def __post_init__(self):
         self.ORI_IMAGE_SIZE = _pair(self.ORI_IMAGE_SIZE)

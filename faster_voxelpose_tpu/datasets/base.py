@@ -98,7 +98,13 @@ class PoseDatasetBase:
         if self.heatmap_src == "pred":
             sample["input_heatmaps"] = self._heatmaps_from_preds(rec)
         elif self.heatmap_src == "gt":
-            sample["input_heatmaps"] = self._heatmaps_from_gt(rec)
+            if self.cfg.DATASET.DEVICE_RENDER:
+                # device-side rasterization (ops/heatmap_render.py): ship
+                # the 41KB Gaussian parameterization instead of 10MB of
+                # rendered maps; the train/eval step renders on the VPU
+                sample["hm_params"] = self._heatmap_params_from_gt(rec)
+            else:
+                sample["input_heatmaps"] = self._heatmaps_from_gt(rec)
         elif self.heatmap_src == "image":
             # decode + warp + normalize per-view images on the host (in
             # pool workers when the loader runs multi-process); the
@@ -306,6 +312,70 @@ class PoseDatasetBase:
         x1 = int(min(x0 + rng.uniform(W / 4, W * 0.75), W))
         return float(scale), (y0, y1, x0, x1)
 
+    def render_heatmap_params(
+        self, joints_2d: list, joints_vis: Optional[list] = None
+    ) -> np.ndarray:
+        """Device-renderer parameterization of one view's Gaussians:
+        (MAX_PEOPLE, J, 12) float32 (layout documented in
+        ops/heatmap_render.py).  Performs the exact instance gating and
+        augmentation RNG draws of render_heatmap, in the same order —
+        the two methods are interchangeable per sample (but advance the
+        RNG, so call exactly one of them)."""
+        W, H = self.heatmap_size
+        J = joints_2d[0].shape[0] if joints_2d else self.num_joints
+        stride = self.image_size / self.heatmap_size
+        K = self.max_people
+        assert len(joints_2d) <= K, "too many persons for param rendering"
+        out = np.zeros((K, J, 12), np.float32)
+
+        for n in range(len(joints_2d)):
+            scale2 = 2 * self._human_scale(joints_2d[n][:, :2] / stride, np.ones(J))
+            if scale2 == 0:
+                continue
+            cur_sigma = self.sigma * np.sqrt(scale2 / (96.0 * 96.0))
+            tmp = cur_sigma * 3
+
+            for j in range(J):
+                if joints_vis is not None and joints_vis[n][j] == 0:
+                    continue
+                mu_x = int(joints_2d[n][j][0] / stride[0])
+                mu_y = int(joints_2d[n][j][1] / stride[1])
+                if (
+                    int(mu_x - tmp) >= W
+                    or int(mu_y - tmp) >= H
+                    or int(mu_x + tmp + 1) < 0
+                    or int(mu_y + tmp + 1) < 0
+                ):
+                    continue
+                scale, occl = self._augment_params(j)
+                ul_x, ul_y = int(mu_x - tmp), int(mu_y - tmp)
+                br_x, br_y = int(mu_x + tmp + 1), int(mu_y + tmp + 1)
+                c = (2 * tmp + 1) // 2  # host renderer's window center
+                y0, y1, x0, x1 = occl
+                if y1 <= y0:
+                    occl_img = (0.0, 0.0, 0.0, 0.0)
+                else:
+                    occl_img = (ul_x + x0, ul_x + x1, ul_y + y0, ul_y + y1)
+                out[n, j] = (
+                    ul_x + c,
+                    ul_y + c,
+                    1.0 / (2.0 * cur_sigma * cur_sigma),
+                    scale,
+                    max(0, ul_x),
+                    min(br_x, W),
+                    max(0, ul_y),
+                    min(br_y, H),
+                    *occl_img,
+                )
+        return out
+
+    def _heatmap_params_from_gt(self, rec: FrameRecord) -> np.ndarray:
+        """'gt' source, device-render mode: (V, MAX_PEOPLE, J, 12)."""
+        views = []
+        for joints_2d, vis_2d in self._gt_joints_2d(rec):
+            views.append(self.render_heatmap_params(joints_2d, vis_2d))
+        return np.stack(views, axis=0)
+
     def _heatmaps_from_preds(self, rec: FrameRecord) -> np.ndarray:
         """'pred' source: render Gaussians at precomputed 2D pose
         predictions (reference JointsDataset.py:144-154)."""
@@ -324,12 +394,12 @@ class PoseDatasetBase:
             views.append(self.render_heatmap(mapped))
         return np.stack(views, axis=0)
 
-    def _heatmaps_from_gt(self, rec: FrameRecord) -> np.ndarray:
-        """'gt' source: project GT 3D joints per camera and render
+    def _gt_joints_2d(self, rec: FrameRecord):
+        """Per view: (joints_2d, vis_2d) lists for the 'gt' source
         (reference JointsDataset.py:156-191); visibility combines GT
         visibility with in-frame checks in both image frames."""
         rig = self.packed_rig(rec.seq)
-        views = []
+        out = []
         for c in range(self.num_views):
             joints_2d, vis_2d = [], []
             for n in range(len(rec.joints_3d)):
@@ -350,6 +420,13 @@ class PoseDatasetBase:
                 )
                 joints_2d.append(pose)
                 vis_2d.append(vis & in_input)
+            out.append((joints_2d, vis_2d))
+        return out
+
+    def _heatmaps_from_gt(self, rec: FrameRecord) -> np.ndarray:
+        """'gt' source: project GT 3D joints per camera and render."""
+        views = []
+        for joints_2d, vis_2d in self._gt_joints_2d(rec):
             views.append(self.render_heatmap(joints_2d, vis_2d))
         return np.stack(views, axis=0)
 

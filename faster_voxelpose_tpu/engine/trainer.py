@@ -93,8 +93,17 @@ def make_train_step(cfg: Config, model, backbone=None):
     target_keys = ("2d_heatmaps", "1d_heatmaps", "index", "bbox", "mask")
     meta_keys = ("roots_3d", "bbox", "num_person", "joints_3d", "joints_3d_vis")
 
+    hm_w, hm_h = cfg.DATASET.HEATMAP_SIZE
+
     def loss_fn(params, batch_stats, batch, backbone_vars):
         heatmaps = batch.get("input_heatmaps")
+        if heatmaps is None and "hm_params" in batch:
+            # device-side Gaussian rasterization (ops/heatmap_render.py):
+            # the host ships only the 12-float parameterization per
+            # (view, person, joint)
+            from ..ops.heatmap_render import render_heatmaps_device
+
+            heatmaps = render_heatmaps_device(batch["hm_params"], hm_h, hm_w)
         if heatmaps is None:
             images = batch["images"]  # (B, V, H, W, 3)
             B, V = images.shape[:2]

@@ -24,8 +24,18 @@ logger = logging.getLogger(__name__)
 def make_eval_step(cfg: Config, model, backbone=None, donate: bool = True):
     """One jitted eval step: heatmaps/images + cameras -> fused poses."""
 
+    hm_w, hm_h = cfg.DATASET.HEATMAP_SIZE
+
     @functools.partial(jax.jit, static_argnames=())
     def eval_step(variables, heatmaps, cameras):
+        if heatmaps.shape[2:] == (
+            cfg.CAPTURE_SPEC.MAX_PEOPLE, cfg.DATASET.NUM_JOINTS, 12
+        ):
+            # 'hm_params' device-render parameterization (B, V, K, J, 12)
+            # instead of rendered maps (see ops/heatmap_render.py)
+            from ..ops.heatmap_render import render_heatmaps_device
+
+            heatmaps = render_heatmaps_device(heatmaps, hm_h, hm_w)
         out = model.apply(variables, heatmaps, cameras, train=False, mutable=False)
         return out.fused_poses
 
@@ -90,9 +100,10 @@ def run_validation(
             pad = bs - len(idxs)
             with timer.step() as st:
                 if backbone is None:
-                    preds_dev = eval_step(
-                        variables, batch["input_heatmaps"], batch["cameras"]
-                    )
+                    hm = batch.get("input_heatmaps")
+                    if hm is None:
+                        hm = batch["hm_params"]  # device-render mode
+                    preds_dev = eval_step(variables, hm, batch["cameras"])
                 else:
                     images = image_loader(idxs + [idxs[-1]] * pad)
                     preds_dev = eval_step(

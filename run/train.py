@@ -150,7 +150,8 @@ def main():
                     losses["bbox"], losses["joint"],
                 )
                 if cfg.TRAIN.VISUALIZATION and (
-                    "input_heatmaps" in batch or "images" in batch
+                    "input_heatmaps" in batch or "hm_params" in batch
+                    or "images" in batch
                 ):
                     # every configured VIS_TYPE artifact for this batch
                     # (reference train_vis_all, vis.py:34-46)
@@ -161,6 +162,17 @@ def main():
                     }
                     if "input_heatmaps" in batch:
                         hm = batch["input_heatmaps"]
+                    elif "hm_params" in batch:  # device-render mode
+                        import jax.numpy as jnp
+
+                        from faster_voxelpose_tpu.ops.heatmap_render import (
+                            render_heatmaps_device,
+                        )
+
+                        W_, H_ = cfg.DATASET.HEATMAP_SIZE
+                        hm = jax.jit(
+                            lambda p: render_heatmaps_device(p, H_, W_)
+                        )(batch["hm_params"])
                     else:  # image source: heatmaps from the backbone
                         hm = vis_backbone_step(backbone_vars, batch["images"])
                     preds, pcs = vis_step(eval_vars, hm, batch["cameras"])

@@ -222,6 +222,57 @@ def main():
         d = float(jax.jit(whole_cmp)(hm_d))
         print(f"whole-space pallas vs quad max|err|: {d:.2e}")
 
+    # 7-11. individual heads (the ~5ms "heads/decode" bucket)
+    if stages is not None and stages & {"7", "8", "9", "10", "11"}:
+        import flax.linen as fnn
+
+        from faster_voxelpose_tpu.models.cnns import (
+            C2CNet, CenterNet, P2PNet, WeightNet,
+        )
+        from faster_voxelpose_tpu.ops.nms import nms2d_topk
+        from faster_voxelpose_tpu.ops.soft_argmax import soft_argmax
+
+        dt = jnp.bfloat16
+        key = jax.random.PRNGKey(0)
+        n3 = 3 * K  # three planes x people, batch 1
+
+        if want("7"):
+            cn = CenterNet(dtype=dt)
+            cube = jnp.asarray(rng.rand(1, 80, 80, 20, J), jnp.float32)
+            cvars = cn.init(key, cube, train=False)
+            t = slope(lambda a: cn.apply(cvars, a, train=False)[0][..., 0], cube)
+            print(f"CenterNet (80x80 BEV U-Net + heads): {t*1e3:6.2f} ms")
+
+        if want("8"):
+            c2c = C2CNet(dtype=dt)
+            cols = jnp.asarray(rng.rand(K, 20, J), jnp.float32)
+            cvars = c2c.init(key, cols, train=False)
+            t = slope(lambda a: c2c.apply(cvars, a, train=False), cols)
+            print(f"C2CNet (K={K} 1D height net): {t*1e3:6.2f} ms")
+            hm2d = jnp.asarray(rng.rand(1, 80, 80), jnp.float32)
+            t = slope(lambda a: nms2d_topk(a, K)[0], hm2d)
+            print(f"nms2d+topk: {t*1e3:6.2f} ms")
+
+        if want("9"):
+            p2p = P2PNet(J, dtype=dt)
+            planes = jnp.asarray(rng.rand(n3, 64, 64, J), jnp.float32)
+            pvars = p2p.init(key, planes, train=False)
+            t = slope(lambda a: p2p.apply(pvars, a, train=False), planes)
+            print(f"P2PNet ({n3}x64x64 plane U-Net): {t*1e3:6.2f} ms")
+
+        if want("10"):
+            wn = WeightNet(dtype=dt)
+            feats = jnp.asarray(rng.rand(n3, 64, 64, J), jnp.float32)
+            wvars = wn.init(key, feats, train=False)
+            t = slope(lambda a: wn.apply(wvars, a, train=False), feats)
+            print(f"WeightNet ({n3*J} single-channel 64x64 convs): {t*1e3:6.2f} ms")
+
+        if want("11"):
+            feats = jnp.asarray(rng.rand(3, K, J, 64 * 64), jnp.float32)
+            grids = jnp.asarray(geom.center_grids)
+            t = slope(lambda a: soft_argmax(a, grids, 100.0)[0], feats)
+            print(f"soft-argmax: {t*1e3:6.2f} ms")
+
     # 6. full model
     if want("6"):
         @jax.jit
