@@ -90,6 +90,15 @@ def main():
         # matmul, at the price of more tiles taking the x cover loop
         ("t888_w2464", dict(tile=(8, 8, 8), window_x=24, window_y=64), True),
         ("t888_w24128", dict(tile=(8, 8, 8), window_x=24, window_y=128), True),
+        # tall-z tiles with narrow x windows (round-3 follow-up: the
+        # stage-1 matmul M dim is xw*jp, so xw 48->32->24 cuts the MXU
+        # work 1/3 and 1/2 when the tile footprint still fits)
+        ("t8832_w40128", dict(tile=(8, 8, 32), window_x=40, window_y=128), True),
+        ("t8832_w32128", dict(tile=(8, 8, 32), window_x=32, window_y=128), True),
+        ("t8832_w24128", dict(tile=(8, 8, 32), window_x=24, window_y=128), True),
+        ("t8864_w32128", dict(tile=(8, 8, 64), window_x=32, window_y=128), True),
+        ("t4432_w16128", dict(tile=(4, 4, 32), window_x=16, window_y=128), True),
+        ("t8816_w3264", dict(tile=(8, 8, 16), window_x=32, window_y=64), True),
         ("t888_w4048_f32", dict(tile=(8, 8, 8), window_x=40, window_y=48,
                                 vpu_bf16=False), True),
         ("t888_w4048_exact", dict(tile=(8, 8, 8), window_x=40, window_y=48,
