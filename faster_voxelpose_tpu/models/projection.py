@@ -475,13 +475,46 @@ def project_individual_planes_pallas(
         return pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)  # (nb,V,2,s)
 
     blocks = jax.vmap(person_coords)(centers_tl).reshape(K * nb, -1, 2, s)
-    vals = sample_tiles(hm_packed, blocks, spec, valid=bvalid)  # (K*nb,JP,S)
 
-    # bbox mask + max-projections in tile-blocked layout
+    # per-sample bbox mask in tile-blocked order, applied INSIDE the
+    # kernel: the old epilogue's three full-cube f32 broadcast multiplies
+    # cost ~4ms/frame of HBM traffic at the Panoptic profile.  bf16
+    # output (fast mode) halves the cube write + the max-projection reads.
+    mask_cube = (
+        mx[:, :, None, None] & my[:, None, :, None] & mz[:, None, None, :]
+    )  # (K, vx, vy, vz)
+    mask_blocked = mask_cube.reshape(
+        K, ntx, tx, nty, ty, ntz, tz
+    ).transpose(0, 1, 3, 5, 2, 4, 6).reshape(K * nb, s)
+    out_dtype = jnp.float32 if spec.exact or not spec.vpu_bf16 else jnp.bfloat16
+    pow2 = not any(d & (d - 1) for d in spec.tile)
+    if pow2 and s == spec.padded_samples:
+        # fast path: the kernel emits per-tile plane partials directly
+        # (roll-max + selector compaction) — the 64^3 cubes never touch
+        # HBM, and the old strided XLA max reductions (~3.4ms/frame at
+        # the Panoptic profile) shrink to small per-axis maxes
+        pxy, pxz, pyz = sample_tiles(
+            hm_packed, blocks, spec, valid=bvalid, mask=mask_blocked,
+            out_dtype=out_dtype, emit_planes=True,
+        )
+
+        def finish(p, keep, na, nb_, ta, tb, axis):
+            p = p.reshape(K, ntx, nty, ntz, jp, -1)[..., :keep].max(axis=axis)
+            p = p.reshape(K, na, nb_, jp, ta, tb).transpose(0, 1, 4, 2, 5, 3)
+            return p.reshape(K, na * ta, nb_ * tb, jp)[..., :J]
+
+        plane_xy = finish(pxy, tx * ty, ntx, nty, tx, ty, 3)
+        plane_xz = finish(pxz, tx * tz, ntx, ntz, tx, tz, 2)
+        plane_yz = finish(pyz, ty * tz, nty, ntz, ty, tz, 1)
+        return plane_xy, plane_xz, plane_yz
+
+    vals = sample_tiles(
+        hm_packed, blocks, spec, valid=bvalid, mask=mask_blocked,
+        out_dtype=out_dtype,
+    )  # (K*nb, JP, S)
+
+    # max-projections in tile-blocked layout (mask already applied)
     v8 = vals.reshape(K, ntx, nty, ntz, jp, tx, ty, tz)
-    v8 = v8 * mx.reshape(K, ntx, 1, 1, 1, tx, 1, 1)
-    v8 = v8 * my.reshape(K, 1, nty, 1, 1, 1, ty, 1)
-    v8 = v8 * mz.reshape(K, 1, 1, ntz, 1, 1, 1, tz)
 
     def plane(maxed, na, nb_, ta, tb):
         # (K, na, nb_, jp, ta, tb) -> (K, na*ta, nb_*tb, J)

@@ -321,13 +321,14 @@ def _unpack_flags(flags_ref, v, spec):
     return ox, oy, fast, bounds
 
 
-def _cover_accumulate(out_ref, x, y, hm_ref, v, bounds, spec):
+def _cover_accumulate(acc_ref, x, y, hm_ref, v, bounds, spec):
     """Exact full-cover accumulation for one (tile, view): disjoint
     windows tile the padded image; the final window of each axis is
     clipped back inside and its overlap zero-masked via the logical
     starts lx/ly.  Windows that cannot intersect the tile's support
     range are skipped, so a footprint only slightly larger than one
-    window costs ~2 windows, not ny*nx."""
+    window costs ~2 windows, not ny*nx.  acc_ref is a (JP, S) f32 VMEM
+    scratch accumulator."""
     xw, yw = spec.xw, spec.yw
     wp, hp = spec.wp, spec.hp
     nx, ny = spec.nx, spec.ny
@@ -349,7 +350,7 @@ def _cover_accumulate(out_ref, x, y, hm_ref, v, bounds, spec):
 
         @pl.when(hit)
         def _():
-            out_ref[0] += _window_contrib(
+            acc_ref[...] += _window_contrib(
                 _slice_win(hm_ref, v, oxk, oyk, spec), x, y, oxk, oyk,
                 lxk, lyk, spec,
             )
@@ -359,7 +360,85 @@ def _cover_accumulate(out_ref, x, y, hm_ref, v, bounds, spec):
     jax.lax.fori_loop(0, ny * nx, body, jnp.int32(0))
 
 
-def _kernel_body(valid_ref, *refs, spec):
+def _plane_lanes(spec: SampleKernelSpec) -> Tuple[int, int, int]:
+    """Lane widths of the three per-tile plane-partial outputs."""
+    tx, ty, tz = spec.tile
+    return (
+        _round_up(tx * ty, 128),
+        _round_up(tx * tz, 128),
+        _round_up(ty * tz, 128),
+    )
+
+
+def _plane_selectors(spec: SampleKernelSpec) -> Tuple[np.ndarray, np.ndarray]:
+    """0/1 compaction matrices (S, LXY) / (S, LXZ): after the roll-max
+    chains, the group-start lane dx*(ty*tz)+dy*tz (resp. +dz) holds that
+    group's max; one MXU matmul gathers those lanes into plane order.
+    (The yz plane needs no selector: its group starts are lanes
+    [0, ty*tz), a direct slice.)"""
+    tx, ty, tz = spec.tile
+    s = spec.padded_samples
+    lxy, lxz, _ = _plane_lanes(spec)
+    sel_xy = np.zeros((s, lxy), np.float32)
+    for dx in range(tx):
+        for dy in range(ty):
+            sel_xy[dx * ty * tz + dy * tz, dx * ty + dy] = 1.0
+    sel_xz = np.zeros((s, lxz), np.float32)
+    for dx in range(tx):
+        for dz in range(tz):
+            sel_xz[dx * ty * tz + dz, dx * tz + dz] = 1.0
+    return sel_xy, sel_xz
+
+
+def _roll_max(a, stride, count):
+    """Max over `count` lanes spaced `stride` apart: after log2(count)
+    rounds of rotate-left + max, each group-START lane holds its group
+    max (other lanes hold sliding-window garbage that the compaction
+    never reads).  pltpu.roll requires non-negative shifts, so a left
+    rotation by sh is a roll by (size - sh)."""
+    size = a.shape[1]
+    sh = stride
+    while sh < stride * count:
+        a = jnp.maximum(a, pltpu.roll(a, size - sh, axis=1))
+        sh *= 2
+    return a
+
+
+def _emit_plane_partials(fa, refs, sels, spec, precision):
+    """fa (JP, S) finalized tile values -> three per-tile orthographic
+    max-projections written to the output refs.  Replaces the XLA-side
+    cube materialization + strided max reductions (~3.4ms/frame of HBM
+    relayout traffic at the Panoptic profile) with in-register lane
+    rotations and two tiny selector matmuls."""
+    oxy_ref, oxz_ref, oyz_ref = refs
+    sel_xy_ref, sel_xz_ref = sels
+    tx, ty, tz = spec.tile
+    _, _, lyz = _plane_lanes(spec)
+
+    # Mosaic rotates are 32-bit only; 0/1 selection through a f32 matmul
+    # is exact (even at DEFAULT precision: 1.0 is bf16-exact and the
+    # bf16x3 partial products reassemble the f32 value bit-exactly)
+    f = fa.astype(jnp.float32)
+    az = _roll_max(f, 1, tz)  # max over dz -> xy plane
+    ay = _roll_max(f, tz, ty)  # max over dy -> xz plane
+    ax = _roll_max(f, ty * tz, tx)  # max over dx -> yz plane
+
+    oxy_ref[0] = jax.lax.dot_general(
+        az, sel_xy_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(fa.dtype)
+    oxz_ref[0] = jax.lax.dot_general(
+        ay, sel_xz_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(fa.dtype)
+    oyz_ref[0] = ax[:, :lyz].astype(fa.dtype)
+
+
+def _kernel_body(valid_ref, *refs, spec, masked, planes):
     """Grid step = one tile: camera-mean of per-view bilinear samples.
 
     Invalid blocks (undetected proposal slots) write zeros and skip all
@@ -375,19 +454,56 @@ def _kernel_body(valid_ref, *refs, spec):
     branch-free with a single output write; flags/anchors arrive
     precomputed (compute_window_flags) so the kernel does no cross-lane
     reductions.
+
+    masked=True: a per-sample (1, S) weight block (the caller's
+    axis-separable bbox mask) multiplies the final mean — applying it
+    here saves the epilogue's 3 full-cube f32 broadcast multiplies,
+    which XLA was paying ~4ms/frame of HBM traffic for.  The output ref
+    may be bf16 (halves the HBM write + the epilogue's read traffic);
+    the slow cover path accumulates in a f32 VMEM scratch either way.
+
+    planes=True: instead of the (JP, S) sample cube, emit the tile's
+    three orthographic max-projection partials (see
+    _emit_plane_partials) — the JLN never materializes the cube at all.
     """
     single = spec.nx == 1 and spec.ny == 1
+    refs = list(refs)
+    acc_ref = None if single else refs.pop(-1)  # f32 scratch
+    if planes:
+        out_refs = (refs[-3], refs[-2], refs[-1])
+        del refs[-3:]
+        sel_refs = (refs[-2], refs[-1])
+        del refs[-2:]
+        out_ref = out_refs[0]
+    else:
+        out_ref = refs.pop(-1)
+        out_refs = sel_refs = None
+    mask_ref = refs.pop(-1) if masked else None
     if single:
-        coords_ref, hm_ref, out_ref = refs
+        coords_ref, hm_ref = refs
         flags_ref = None
     else:
-        flags_ref, coords_ref, hm_ref, out_ref = refs
+        flags_ref, coords_ref, hm_ref = refs
     i = pl.program_id(0)
     V = spec.n_views
+    odt = out_ref.dtype
+    precision = (
+        jax.lax.Precision.HIGHEST if spec.exact else jax.lax.Precision.DEFAULT
+    )
+
+    def store(fa):
+        if planes:
+            _emit_plane_partials(fa, out_refs, sel_refs, spec, precision)
+        else:
+            out_ref[0] = fa
 
     @pl.when(valid_ref[i] <= 0)
     def _():
-        out_ref[0] = jnp.zeros((spec.jp, spec.padded_samples), jnp.float32)
+        if planes:
+            for r, lanes in zip(out_refs, _plane_lanes(spec)):
+                r[0] = jnp.zeros((spec.jp, lanes), odt)
+        else:
+            out_ref[0] = jnp.zeros((spec.jp, spec.padded_samples), odt)
 
     @pl.when(valid_ref[i] > 0)
     def _():
@@ -410,16 +526,48 @@ def _kernel_body(valid_ref, *refs, spec):
                 spec,
             ) * fast.astype(jnp.float32)
 
-        out_ref[0] = acc
-        if not single:
+        def finalize(a):
+            a = jnp.clip(a * (1.0 / V), 0.0, 1.0)
+            if masked:
+                # mask blocks carry 8 rows (sublane-divisibility rule);
+                # row i % 8 belongs to this grid step.  Dynamic sublane
+                # loads can't be proven aligned for bf16 tiles, so select
+                # the row with a one-hot sublane reduction instead.
+                rows = mask_ref[...].astype(jnp.float32)  # (8, S)
+                sel = jax.lax.broadcasted_iota(
+                    jnp.int32, rows.shape, 0
+                ) == (i % 8)
+                row = jnp.sum(
+                    jnp.where(sel, rows, 0.0), axis=0, keepdims=True
+                )  # (1, S)
+                a = a * row
+            return a.astype(odt)
+
+        if single:
+            store(finalize(acc))
+            return
+
+        all_fast = slow_views[0][2]
+        for v in range(1, V):
+            all_fast = jnp.logical_and(all_fast, slow_views[v][2])
+
+        @pl.when(all_fast)
+        def _():
+            # common case: every view exact through its anchored window —
+            # single store, no scratch round trip
+            store(finalize(acc))
+
+        @pl.when(jnp.logical_not(all_fast))
+        def _():
+            acc_ref[...] = acc
             for v in range(V):
                 x, y, fast, bounds = slow_views[v]
 
                 @pl.when(jnp.logical_not(fast))
                 def _(x=x, y=y, v=v, bounds=bounds):
-                    _cover_accumulate(out_ref, x, y, hm_ref, v, bounds, spec)
+                    _cover_accumulate(acc_ref, x, y, hm_ref, v, bounds, spec)
 
-        out_ref[0] = jnp.clip(out_ref[0] * (1.0 / V), 0.0, 1.0)
+            store(finalize(acc_ref[...]))
 
 
 def _sample_tiles_group(
@@ -428,13 +576,18 @@ def _sample_tiles_group(
     spec: SampleKernelSpec,
     valid: jnp.ndarray,  # (NB,) int32
     flags: jnp.ndarray,  # (NB, V, 3) int32 or None when single-window
-) -> jnp.ndarray:  # (NB, JP, S)
+    mask: jnp.ndarray,  # (NB, S) per-sample weights or None
+    out_dtype,
+    planes: bool = False,
+):  # (NB, JP, S) cube, or ((NB,JP,LXY),(NB,JP,LXZ),(NB,JP,LYZ)) partials
     nb = coords.shape[0]
     V = spec.n_views
     s = spec.padded_samples
     single = flags is None
-    out_shape = jax.ShapeDtypeStruct((nb, spec.jp, s), jnp.float32)
-    kern = functools.partial(_kernel_body, spec=spec)
+    out_shape = jax.ShapeDtypeStruct((nb, spec.jp, s), out_dtype)
+    kern = functools.partial(
+        _kernel_body, spec=spec, masked=mask is not None, planes=planes
+    )
     in_specs = [
         pl.BlockSpec(
             (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
@@ -451,13 +604,47 @@ def _sample_tiles_group(
             ),
         )
         args = [valid, flags, coords, hm_group]
+    if mask is not None:
+        # 8 rows per block (sublane divisibility); consecutive grid steps
+        # share a block so each group of 8 is fetched once
+        in_specs.append(
+            pl.BlockSpec(
+                (8, s), lambda i, _v: (i // 8, 0), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(mask)
+    if planes:
+        sel_xy, sel_xz = _plane_selectors(spec)
+        for sel in (sel_xy, sel_xz):
+            in_specs.append(
+                pl.BlockSpec(
+                    sel.shape, lambda i, _v: (0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            args.append(jnp.asarray(sel))  # f32: rolls/selection run f32
+        lanes = _plane_lanes(spec)
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, spec.jp, l), out_dtype) for l in lanes
+        ]
+        out_specs = [
+            pl.BlockSpec(
+                (1, spec.jp, l), lambda i, _v: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for l in lanes
+        ]
+    else:
+        out_specs = pl.BlockSpec(
+            (1, spec.jp, s), lambda i, _v: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, spec.jp, s), lambda i, _v: (i, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=out_specs,
+        scratch_shapes=(
+            [] if single else [pltpu.VMEM((spec.jp, s), jnp.float32)]
         ),
     )
     return pl.pallas_call(
@@ -473,29 +660,60 @@ def sample_tiles(
     coords: jnp.ndarray,  # (NB, V, 2, S) pixel coords
     spec: SampleKernelSpec,
     valid: jnp.ndarray = None,  # (NB,) int/bool; 0 = skip block, zeros
-) -> jnp.ndarray:  # (NB, JP_TOTAL, S)
+    mask: jnp.ndarray = None,  # (NB, S) per-sample output weights
+    out_dtype=jnp.float32,  # bf16 halves output HBM traffic (fast mode)
+    emit_planes: bool = False,  # emit per-tile plane partials, no cube
+):  # (NB, JP_TOTAL, S), or a 3-tuple of (NB, JP_TOTAL, L*) partials
     """Camera-averaged bilinear samples for NB tiles of S samples each,
     exact for any coordinates (see module docstring).  Joint groups run
-    as consecutive kernel launches sharing the same coords."""
+    as consecutive kernel launches sharing the same coords.
+
+    emit_planes=True: returns the per-tile orthographic max-projection
+    partials (xy, xz, yz) instead of the sample cube — the dominant JLN
+    consumer never needs the cube, and skipping it saves its HBM round
+    trip plus XLA's strided reduction relayouts."""
     spec.validate()
     nb, V, _, s_in = coords.shape
     s = spec.padded_samples
+    if emit_planes:
+        tx, ty, tz = spec.tile
+        if s_in != s or any(d & (d - 1) for d in (tx, ty, tz)):
+            raise ValueError(
+                "emit_planes requires power-of-two tile dims and "
+                f"samples==padded_samples; got tile {spec.tile}, "
+                f"S {s_in} vs {s}"
+            )
     if s_in != s:
         # lane alignment: replicate the last sample into the pad columns
         # (keeps window anchors untouched); output is sliced back below
         coords = jnp.concatenate(
             [coords, jnp.repeat(coords[..., -1:], s - s_in, axis=-1)], axis=-1
         )
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, s - s_in)))
     if valid is None:
         valid = jnp.ones((nb,), jnp.int32)
     else:
         valid = valid.astype(jnp.int32)
+    if mask is not None:
+        mask = mask.astype(spec.pack_dtype)
+        if nb % 8:
+            mask = jnp.pad(mask, ((0, 8 - nb % 8), (0, 0)))
     single = spec.nx == 1 and spec.ny == 1
     flags = None if single else compute_window_flags(coords, spec)
     outs = [
-        _sample_tiles_group(hm_packed[g], coords, spec, valid, flags)
+        _sample_tiles_group(
+            hm_packed[g], coords, spec, valid, flags, mask, out_dtype,
+            planes=emit_planes,
+        )
         for g in range(spec.groups)
     ]
+    if emit_planes:
+        if spec.groups == 1:
+            return tuple(outs[0])
+        return tuple(
+            jnp.concatenate([o[k] for o in outs], axis=1) for k in range(3)
+        )
     out = outs[0] if spec.groups == 1 else jnp.concatenate(outs, axis=1)
     return out[:, :, :s_in] if s_in != s else out
 

@@ -196,6 +196,139 @@ def main():
     if want("4c"):
         print(f"  ablation kernel only (K={K}): {slope(kernel_fn, fixed_blocks)*1e3:6.2f} ms")
 
+    # 4e/4f/4g. realistic-coords kernel-only / epilogue-only / path stats
+    if stages is not None and stages & {"4e", "4f", "4g", "4h", "4i"}:
+        from faster_voxelpose_tpu.models.projection import crop_axis_masks
+        from faster_voxelpose_tpu.ops.pallas_sampling import (
+            compute_window_flags, tiles_to_cube,
+        )
+
+        vx, vy, vz = geom.ind_voxels_per_axis
+        tx, ty, tz = spec.tile
+        ntx, nty, ntz = vx // tx, vy // ty, vz // tz
+        # realistic blocked coords for all K people (same math as
+        # project_individual_planes_pallas)
+        def person_blocks(t_):
+            pts = org + (t_[None, :] + offs).astype(jnp.float32) * step
+
+            def pv(cam):
+                norm = project_to_norm_coords(
+                    pts, cam, rt, geom.ori_image_size, geom.image_size,
+                    geom.heatmap_size,
+                )
+                return (norm + 1.0) * 0.5 * jnp.asarray(
+                    [W - 1, H - 1], jnp.float32
+                )
+
+            pix = jax.vmap(pv)(cams_d[0])
+            return pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)
+
+        blocks_real = np.asarray(
+            jax.jit(lambda t_: jax.lax.map(person_blocks, t_))(tl[0])
+        ).reshape(K * nb, V, 2, s)
+        mx, my, mz = jax.vmap(lambda t_, bb: crop_axis_masks(geom, t_, bb))(
+            tl[0], bbox[0]
+        )
+        lxm = np.asarray(mx).reshape(K, ntx, tx).any(-1)
+        lym = np.asarray(my).reshape(K, nty, ty).any(-1)
+        lzm = np.asarray(mz).reshape(K, ntz, tz).any(-1)
+        live = (
+            lxm[:, :, None, None] & lym[:, None, :, None]
+            & lzm[:, None, None, :]
+        ).reshape(K * nb)
+        bvalid_real = jnp.asarray(live.astype(np.int32))
+        blocks_real_d = jax.device_put(jnp.asarray(blocks_real))
+
+        if want("4g"):
+            flags = np.asarray(
+                jax.jit(lambda c: compute_window_flags(c, spec))(blocks_real_d)
+            )
+            fastf = ((flags[:, :, 0] >> 24) > 0)[live].mean()
+            print(
+                f"  stats: live blocks {live.mean()*100:.1f}%, fast-path "
+                f"(per live tile-view) {fastf*100:.1f}%"
+            )
+
+        if want("4e"):
+            def kernel_real(c):
+                return sample_tiles(hp_fixed, c, spec, valid=bvalid_real)[..., 0]
+
+            print(
+                f"  ablation kernel only, realistic coords+valid: "
+                f"{slope(kernel_real, blocks_real_d)*1e3:6.2f} ms"
+            )
+
+        if want("4h"):
+            # view scaling: per-view work vs per-block overhead
+            import dataclasses as _dc
+
+            for nv in (1, 2, 5):
+                spec_v = _dc.replace(spec, n_views=nv)
+                hp_v = hp_fixed[:, :nv]
+                blocks_v = jax.device_put(
+                    jnp.asarray(blocks_real[:, :nv])
+                )
+
+                def kernel_v(c, spec_v=spec_v, hp_v=hp_v):
+                    return sample_tiles(
+                        hp_v, c, spec_v, valid=bvalid_real
+                    )[..., 0]
+
+                print(
+                    f"  kernel only V={nv}: "
+                    f"{slope(kernel_v, blocks_v)*1e3:6.2f} ms"
+                )
+
+        if want("4i"):
+            # planes-partials kernel, realistic coords (full fast config)
+            mask_rand = jnp.asarray(
+                (rng.rand(K * nb, s) > 0.4).astype(np.float32)
+            )
+
+            def kernel_pl(c):
+                pxy, pxz, pyz = sample_tiles(
+                    hp_fixed, c, spec, valid=bvalid_real, mask=mask_rand,
+                    out_dtype=jnp.bfloat16, emit_planes=True,
+                )
+                return (
+                    pxy[..., 0].astype(jnp.float32)
+                    + pxz[..., 0].astype(jnp.float32)
+                    + pyz[..., 0].astype(jnp.float32)
+                )
+
+            print(
+                f"  kernel planes-partials, realistic: "
+                f"{slope(kernel_pl, blocks_real_d)*1e3:6.2f} ms"
+            )
+
+        if want("4f"):
+            vals_fixed = jax.device_put(
+                jnp.asarray(
+                    rng.rand(K * nb, spec.jp_total, s).astype(np.float32)
+                )
+            )
+            mxd, myd, mzd = (jnp.asarray(np.asarray(m)) for m in (mx, my, mz))
+
+            def epilogue_fn(vals):
+                v8 = vals.reshape(K, ntx, nty, ntz, spec.jp_total, tx, ty, tz)
+                v8 = v8 * mxd.reshape(K, ntx, 1, 1, 1, tx, 1, 1)
+                v8 = v8 * myd.reshape(K, 1, nty, 1, 1, 1, ty, 1)
+                v8 = v8 * mzd.reshape(K, 1, 1, ntz, 1, 1, 1, tz)
+
+                def plane(maxed, na, nb_, ta, tb):
+                    p = maxed.transpose(0, 1, 4, 2, 5, 3)
+                    return p.reshape(K, na * ta, nb_ * tb, spec.jp_total)[..., :J]
+
+                pxy = plane(jnp.max(v8, axis=(3, 7)), ntx, nty, tx, ty)
+                pxz = plane(jnp.max(v8, axis=(2, 6)), ntx, ntz, tx, tz)
+                pyz = plane(jnp.max(v8, axis=(1, 5)), nty, ntz, ty, tz)
+                return pxy[:, 0, 0, 0] + pxz[:, 0, 0, 0] + pyz[:, 0, 0, 0]
+
+            print(
+                f"  ablation epilogue only (mask+max planes): "
+                f"{slope(epilogue_fn, vals_fixed)*1e3:6.2f} ms"
+            )
+
     # 4d. whole-space pallas
     from faster_voxelpose_tpu.models.faster_voxelpose import (
         resolve_whole_sampling_spec,

@@ -75,34 +75,22 @@ def main():
     valid = jnp.ones((K,), bool)
 
     variants = [
-        # round-3 kernel: bf16-packed heatmaps are the default fast mode
-        # (16-aligned y windows); exactness holds for every variant
-        # (cover loop)
-        ("t888_w4048 (default)", dict(tile=(8, 8, 8), window_x=40, window_y=48), True),
-        ("t888_w3248", dict(tile=(8, 8, 8), window_x=32, window_y=48), True),
-        ("t888_w2432", dict(tile=(8, 8, 8), window_x=24, window_y=32), True),
-        ("t8816_w4064", dict(tile=(8, 8, 16), window_x=40, window_y=64), True),
-        ("t8816_w4880", dict(tile=(8, 8, 16), window_x=48, window_y=80), True),
-        ("t8832_w48128", dict(tile=(8, 8, 32), window_x=48, window_y=128), True),
-        ("t8864_w48128", dict(tile=(8, 8, 64), window_x=48, window_y=128), True),
-        ("t16168_w5648", dict(tile=(16, 16, 8), window_x=56, window_y=48), True),
-        # M-shrink: narrow x windows with tall y windows cut the dominant
-        # matmul, at the price of more tiles taking the x cover loop
-        ("t888_w2464", dict(tile=(8, 8, 8), window_x=24, window_y=64), True),
-        ("t888_w24128", dict(tile=(8, 8, 8), window_x=24, window_y=128), True),
-        # tall-z tiles with narrow x windows (round-3 follow-up: the
-        # stage-1 matmul M dim is xw*jp, so xw 48->32->24 cuts the MXU
-        # work 1/3 and 1/2 when the tile footprint still fits)
+        # post-plane-partials sweep: per-sample stage-1 cost is
+        # xw*jp*max(yw,128) MACs (the MXU K dim pads to 128), so narrow x
+        # windows and x-thin tiles are the remaining levers; the exact
+        # cover loop absorbs any tile whose footprint exceeds the window
+        ("t8832_w48128 (default)", dict(tile=(8, 8, 32), window_x=48, window_y=128), True),
         ("t8832_w40128", dict(tile=(8, 8, 32), window_x=40, window_y=128), True),
         ("t8832_w32128", dict(tile=(8, 8, 32), window_x=32, window_y=128), True),
         ("t8832_w24128", dict(tile=(8, 8, 32), window_x=24, window_y=128), True),
+        ("t8864_w48128", dict(tile=(8, 8, 64), window_x=48, window_y=128), True),
         ("t8864_w32128", dict(tile=(8, 8, 64), window_x=32, window_y=128), True),
-        ("t4432_w16128", dict(tile=(4, 4, 32), window_x=16, window_y=128), True),
-        ("t8816_w3264", dict(tile=(8, 8, 16), window_x=32, window_y=64), True),
-        ("t888_w4048_f32", dict(tile=(8, 8, 8), window_x=40, window_y=48,
-                                vpu_bf16=False), True),
-        ("t888_w4048_exact", dict(tile=(8, 8, 8), window_x=40, window_y=48,
-                                  exact=True), True),
+        ("t8864_w24128", dict(tile=(8, 8, 64), window_x=24, window_y=128), True),
+        ("t4864_w24128", dict(tile=(4, 8, 64), window_x=24, window_y=128), True),
+        ("t4864_w16128", dict(tile=(4, 8, 64), window_x=16, window_y=128), True),
+        ("t4832_w16128", dict(tile=(4, 8, 32), window_x=16, window_y=128), True),
+        ("t8432_w3280", dict(tile=(8, 4, 32), window_x=32, window_y=80), True),
+        ("t8832_w4880", dict(tile=(8, 8, 32), window_x=48, window_y=80), True),
     ]
 
     for name, overrides, use_valid in variants:
