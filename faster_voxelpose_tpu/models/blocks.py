@@ -60,17 +60,42 @@ class Deconv(nn.Module):
             1: ("NHC", "HIO", "NHC"),
             2: ("NHWC", "HWIO", "NHWC"),
         }[self.rank]
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1,) * self.rank,
-            padding=((p, p),) * self.rank,
-            lhs_dilation=(self.stride,) * self.rank,
-            dimension_numbers=dn,
-        )
+        if self.kernel == 2 and self.stride == 2 and self.pad == 0:
+            # k2/s2/p0 (U-Net upsamplers): y[2u+a, 2v+b] = x[u,v] @ k[1-a, 1-b]
+            # — one 1x1 conv with the taps stacked on output channels +
+            # interleave, instead of a 75%-zeros dilated conv.
+            y = self._subpixel2(x.astype(self.dtype), kernel.astype(self.dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1,) * self.rank,
+                padding=((p, p),) * self.rank,
+                lhs_dilation=(self.stride,) * self.rank,
+                dimension_numbers=dn,
+            )
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+    def _subpixel2(self, x, kernel):
+        # (A k4/s2/p1 subpixel decomposition for the backbone deconvs was
+        # measured SLOWER than XLA's dilated lowering on v5e — 7.9 vs
+        # 5.7ms for the 5-view backbone — so only the tap-exact k2 case
+        # keeps a fast path.)
+        o = kernel.shape[-1]
+        if self.rank == 1:
+            n, h, _ = x.shape
+            k1 = jnp.concatenate([kernel[1 - a] for a in (0, 1)], axis=-1)
+            c = jnp.einsum("nhi,io->nho", x, k1)  # (N, H, 2*O)
+            return c.reshape(n, h, 2, o).reshape(n, 2 * h, o)
+        n, h, w, _ = x.shape
+        k1 = jnp.concatenate(
+            [kernel[1 - a, 1 - b] for a in (0, 1) for b in (0, 1)], axis=-1
+        )  # (I, 4*O), blocks ordered (a, b)
+        c = jnp.einsum("nhwi,io->nhwo", x, k1)  # (N, H, W, 4*O)
+        y6 = c.reshape(n, h, w, 2, 2, o)
+        return y6.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, o)
 
 
 class ConvBNRelu(nn.Module):

@@ -90,6 +90,26 @@ def main():
         variables = model.init(jax.random.PRNGKey(0), heatmaps, cams, train=False)
     print("spec:", spec, file=sys.stderr)
 
+    if want("0"):
+        from faster_voxelpose_tpu.models.resnet import build_backbone
+
+        cfg_b = load_config(
+            os.path.join(
+                os.path.dirname(__file__), "..", "configs/panoptic/jln64.yaml"
+            )
+        )  # production dtype (bf16), unlike the f32 parity cfg above
+        backbone = build_backbone(cfg_b)
+        iw, ih = cfg_b.DATASET.IMAGE_SIZE
+        imgs = jnp.asarray(rng.rand(V, ih, iw, 3), jnp.float32)
+        bvars = backbone.init(jax.random.PRNGKey(0), imgs[:1])
+        t = slope(
+            lambda a: backbone.apply(bvars, a, train=False, mutable=False)[
+                :, 0, 0, 0
+            ],
+            imgs,
+        )
+        print(f"backbone (V={V} {ih}x{iw} ResNet+deconv, bf16): {t*1e3:6.2f} ms")
+
     if want("1"):
         t = slope(lambda a: jax.vmap(jax.vmap(build_quad_table))(a)[:, :, 0, 0, 0],
                   hm_d)
