@@ -103,7 +103,12 @@ class NetworkConfig:
     # contraction always pads its MXU K dim to 128, so a 128-tall window
     # is free FLOPs and makes every tile y-exact
     PALLAS_TILE: Tuple[int, int, int] = (8, 8, 32)
-    PALLAS_WINDOW: Tuple[int, int] = (48, 128)
+    # x window 40 measured best on v5e post plane-partials (15.42 vs
+    # 15.66ms at 48, 15.91 at 32 — narrower loses more to the cover
+    # loop than the smaller matmul saves); y window = full padded height
+    # (static y origin: no dynamic sublane slicing, and the MXU pads the
+    # contraction dim to 128 anyway)
+    PALLAS_WINDOW: Tuple[int, int] = (40, 128)
     # f32-exact MXU passes (3x slower sampling); DEFAULT bf16 passes err
     # ~2e-3, below the bf16 conv stack's own noise
     PALLAS_EXACT: bool = False

@@ -132,6 +132,47 @@ def test_joint_groups_coco17():
     np.testing.assert_allclose(ours, ref, atol=5e-6)
 
 
+def test_emit_planes_matches_cube_max():
+    """emit_planes=True (in-kernel roll-max + selector compaction) must
+    reproduce cube-then-max exactly, including masked samples, invalid
+    blocks, joint groups, and slow-path tiles."""
+    spec = _spec(num_joints=17, window_x=16, window_y=16)
+    hm, coords = _random_case(spec, nb=8, jitter=4, seed=3, wild_every=4)
+    rng = np.random.RandomState(7)
+    s = spec.samples
+    mask = (rng.rand(8, s) > 0.3).astype(np.float32)
+    valid = np.asarray([1, 1, 0, 1, 1, 1, 0, 1], np.int32)
+    hm_packed = pack_heatmaps(jnp.asarray(hm), spec)
+
+    cube = np.asarray(
+        sample_tiles(
+            hm_packed, jnp.asarray(coords), spec, valid=jnp.asarray(valid),
+            mask=jnp.asarray(mask),
+        )
+    )  # (NB, JP_TOTAL, S)
+    pxy, pxz, pyz = sample_tiles(
+        hm_packed, jnp.asarray(coords), spec, valid=jnp.asarray(valid),
+        mask=jnp.asarray(mask), emit_planes=True,
+    )
+    tx, ty, tz = spec.tile
+    c4 = cube.reshape(8, spec.jp_total, tx, ty, tz)
+    np.testing.assert_allclose(
+        np.asarray(pxy)[..., : tx * ty],
+        c4.max(axis=4).reshape(8, spec.jp_total, tx * ty),
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pxz)[..., : tx * tz],
+        c4.max(axis=3).reshape(8, spec.jp_total, tx * tz),
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pyz)[..., : ty * tz],
+        c4.max(axis=2).reshape(8, spec.jp_total, ty * tz),
+        atol=5e-6,
+    )
+
+
 def test_nondivisible_heatmap_dims():
     """H/W not divisible by 8 get zero-padded in pack_heatmaps — sampling
     the pad rows/cols reproduces zeros-padding bilinear bit-exactly, and
