@@ -32,9 +32,14 @@ def main():
     from faster_voxelpose_tpu.engine.checkpoint import load_best_model
     from faster_voxelpose_tpu.models.faster_voxelpose import build_model
 
-    cfg = load_config(
-        os.path.join(os.path.dirname(__file__), "..", "configs/demo/synthetic.yaml")
+    cfg_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(
+            os.path.dirname(__file__), "..", "configs/demo/synthetic.yaml"
+        )
     )
+    cfg = load_config(cfg_path)
     model = build_model(cfg)
     print("spec:", model.sampling_spec, file=sys.stderr)
 

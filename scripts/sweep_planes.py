@@ -91,6 +91,12 @@ def main():
         ("t4832_w16128", dict(tile=(4, 8, 32), window_x=16, window_y=128), True),
         ("t8432_w3280", dict(tile=(8, 4, 32), window_x=32, window_y=80), True),
         ("t8832_w4880", dict(tile=(8, 8, 32), window_x=48, window_y=80), True),
+        # short-z tiles bound the depth-driven x spread, so narrow x
+        # windows keep a high fast fraction (tests the per-z-slab window
+        # idea without a kernel rework)
+        ("t888_w24128", dict(tile=(8, 8, 8), window_x=24, window_y=128), True),
+        ("t888_w32128", dict(tile=(8, 8, 8), window_x=32, window_y=128), True),
+        ("t8816_w32128", dict(tile=(8, 8, 16), window_x=32, window_y=128), True),
     ]
 
     for name, overrides, use_valid in variants:
