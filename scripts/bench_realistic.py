@@ -40,6 +40,9 @@ def main():
         )
     )
     cfg = load_config(cfg_path)
+    # this bench feeds host-materialized heatmaps; turn off the
+    # device-side Gaussian rasterization path if the config uses it
+    cfg.DATASET.DEVICE_RENDER = False
     model = build_model(cfg)
     print("spec:", model.sampling_spec, file=sys.stderr)
 
@@ -59,9 +62,8 @@ def main():
         cams[:1],
         train=False,
     )
-    output_dir = os.path.join(
-        cfg.OUTPUT_DIR, cfg.DATASET.TEST_DATASET, "synthetic"
-    )
+    stem = os.path.splitext(os.path.basename(cfg_path))[0]
+    output_dir = os.path.join(cfg.OUTPUT_DIR, cfg.DATASET.TEST_DATASET, stem)
     variables = load_best_model(output_dir, template)
     print(f"=> loaded {output_dir}", file=sys.stderr)
 
