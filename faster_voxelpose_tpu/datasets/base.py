@@ -325,7 +325,18 @@ class PoseDatasetBase:
         J = joints_2d[0].shape[0] if joints_2d else self.num_joints
         stride = self.image_size / self.heatmap_size
         K = self.max_people
-        assert len(joints_2d) <= K, "too many persons for param rendering"
+        if len(joints_2d) > K:
+            # the host render path (render_heatmap) has no person cap and
+            # would render everyone; the device parameterization is a
+            # fixed (K, J, 12) tensor, so extra persons cannot be
+            # represented.  Fail loudly (works under python -O too)
+            # rather than silently dropping people.
+            raise ValueError(
+                f"render_heatmap_params: {len(joints_2d)} persons exceed "
+                f"MAX_PEOPLE={K}; the device renderer cannot represent the "
+                "overflow (the host render path would render all of them) — "
+                "raise CAPTURE_SPEC.MAX_PEOPLE or use host rendering"
+            )
         out = np.zeros((K, J, 12), np.float32)
 
         for n in range(len(joints_2d)):

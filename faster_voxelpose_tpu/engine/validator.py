@@ -26,13 +26,13 @@ def make_eval_step(cfg: Config, model, backbone=None, donate: bool = True):
 
     hm_w, hm_h = cfg.DATASET.HEATMAP_SIZE
 
-    @functools.partial(jax.jit, static_argnames=())
-    def eval_step(variables, heatmaps, cameras):
-        if heatmaps.shape[2:] == (
-            cfg.CAPTURE_SPEC.MAX_PEOPLE, cfg.DATASET.NUM_JOINTS, 12
-        ):
+    @functools.partial(jax.jit, static_argnames=("is_params",))
+    def eval_step(variables, heatmaps, cameras, is_params=False):
+        if is_params:
             # 'hm_params' device-render parameterization (B, V, K, J, 12)
-            # instead of rendered maps (see ops/heatmap_render.py)
+            # instead of rendered maps (see ops/heatmap_render.py); the
+            # caller sets is_params from which batch key it read, so the
+            # dispatch can never misroute on a shape collision
             from ..ops.heatmap_render import render_heatmaps_device
 
             heatmaps = render_heatmaps_device(heatmaps, hm_h, hm_w)
@@ -101,9 +101,12 @@ def run_validation(
             with timer.step() as st:
                 if backbone is None:
                     hm = batch.get("input_heatmaps")
-                    if hm is None:
+                    is_params = hm is None
+                    if is_params:
                         hm = batch["hm_params"]  # device-render mode
-                    preds_dev = eval_step(variables, hm, batch["cameras"])
+                    preds_dev = eval_step(
+                        variables, hm, batch["cameras"], is_params=is_params
+                    )
                 else:
                     images = image_loader(idxs + [idxs[-1]] * pad)
                     preds_dev = eval_step(

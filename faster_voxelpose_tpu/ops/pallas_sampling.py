@@ -415,9 +415,17 @@ def _emit_plane_partials(fa, refs, sels, spec, precision):
     tx, ty, tz = spec.tile
     _, _, lyz = _plane_lanes(spec)
 
-    # Mosaic rotates are 32-bit only; 0/1 selection through a f32 matmul
-    # is exact (even at DEFAULT precision: 1.0 is bf16-exact and the
-    # bf16x3 partial products reassemble the f32 value bit-exactly)
+    # Mosaic rotates are 32-bit only; 0/1 selection runs through a tiny
+    # matmul.  When the tile values are bf16-representable (bf16 packing)
+    # a DEFAULT-precision pass is exact: 1.0 and the values are both
+    # bf16-exact, so every partial product is exact and each output lane
+    # sums exactly one nonzero product.  With f32 packing, DEFAULT is a
+    # single bf16 pass that would round the values, so force HIGHEST for
+    # the selector matmuls — the contraction is tiny (S x plane lanes),
+    # cost is noise.
+    sel_precision = (
+        precision if fa.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
     f = fa.astype(jnp.float32)
     az = _roll_max(f, 1, tz)  # max over dz -> xy plane
     ay = _roll_max(f, tz, ty)  # max over dy -> xz plane
@@ -427,13 +435,13 @@ def _emit_plane_partials(fa, refs, sels, spec, precision):
         az, sel_xy_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=precision,
+        precision=sel_precision,
     ).astype(fa.dtype)
     oxz_ref[0] = jax.lax.dot_general(
         ay, sel_xz_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=precision,
+        precision=sel_precision,
     ).astype(fa.dtype)
     oyz_ref[0] = ax[:, :lyz].astype(fa.dtype)
 

@@ -14,6 +14,7 @@ decoder in the same file.
 
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
@@ -117,11 +118,18 @@ class TBEventWriter:
     """Append scalar events to an `events.out.tfevents.*` file that
     TensorBoard's `--logdir` scan picks up directly."""
 
+    _seq = itertools.count()
+
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         host = socket.gethostname() or "local"
+        # pid + per-process counter suffix (as tensorboardX does) so two
+        # writers created in the same log_dir within the same second get
+        # distinct files instead of interleaving one stream
         self.path = os.path.join(
-            log_dir, f"events.out.tfevents.{int(time.time())}.{host}"
+            log_dir,
+            f"events.out.tfevents.{int(time.time())}.{host}."
+            f"{os.getpid()}.{next(self._seq)}",
         )
         self._fh = open(self.path, "ab")
         self._fh.write(frame_record(encode_version_event(time.time())))

@@ -124,6 +124,15 @@ def main():
                 flat = images.reshape((B * V,) + images.shape[2:])
                 hm = backbone.apply(bvars, flat, train=False, mutable=False)
                 return hm.reshape((B, V) + hm.shape[1:])
+
+        from faster_voxelpose_tpu.ops.heatmap_render import render_heatmaps_device
+
+        _vis_w, _vis_h = cfg.DATASET.HEATMAP_SIZE
+        # one jit shared by every rendered batch (not rebuilt per batch,
+        # which would re-trace the renderer each visualization)
+        vis_render_step = jax.jit(
+            lambda p: render_heatmaps_device(p, _vis_h, _vis_w)
+        )
     for epoch in range(start_epoch, cfg.TRAIN.END_EPOCH):
         logger.info("epoch %d", epoch)
         end = time.time()
@@ -163,16 +172,7 @@ def main():
                     if "input_heatmaps" in batch:
                         hm = batch["input_heatmaps"]
                     elif "hm_params" in batch:  # device-render mode
-                        import jax.numpy as jnp
-
-                        from faster_voxelpose_tpu.ops.heatmap_render import (
-                            render_heatmaps_device,
-                        )
-
-                        W_, H_ = cfg.DATASET.HEATMAP_SIZE
-                        hm = jax.jit(
-                            lambda p: render_heatmaps_device(p, H_, W_)
-                        )(batch["hm_params"])
+                        hm = vis_render_step(batch["hm_params"])
                     else:  # image source: heatmaps from the backbone
                         hm = vis_backbone_step(backbone_vars, batch["images"])
                     preds, pcs = vis_step(eval_vars, hm, batch["cameras"])

@@ -1,8 +1,13 @@
 """On-chip validation of the Pallas sampling path: full-model pallas-vs-
-quad parity at the real Panoptic profile with realistic dome cameras,
-plus per-variant frame timing (scan-slope method).
+quad parity at a real profile with realistic cameras, plus per-variant
+frame timing (scan-slope method).
 
-Usage: python scripts/check_pallas_parity.py [--people N]
+Usage: python scripts/check_pallas_parity.py [--cfg CONFIG.yaml]
+           [--only=name1,name2] [--no-timing]
+
+Default profile is Panoptic (dome rig); --cfg configs/campus/jln64.yaml
+switches to the Campus geometry (12x12m space, 3 perimeter cameras,
+200x160 heatmaps) with the matching wide-baseline rig.
 """
 
 from __future__ import annotations
@@ -47,9 +52,15 @@ def main():
         resolve_sampling_spec,
     )
 
-    cfg = load_config(
-        os.path.join(os.path.dirname(__file__), "..", "configs/panoptic/jln64.yaml")
+    cfg_path = os.path.join(
+        os.path.dirname(__file__), "..", "configs/panoptic/jln64.yaml"
     )
+    for a in sys.argv:
+        if a.startswith("--cfg="):
+            cfg_path = a.split("=", 1)[1]
+    if "--cfg" in sys.argv:
+        cfg_path = sys.argv[sys.argv.index("--cfg") + 1]
+    cfg = load_config(cfg_path)
     cfg.CAPTURE_SPEC.MIN_SCORE = -1.0  # all K slots valid: worst-case load
     cfg.NETWORK.COMPUTE_DTYPE = "float32"
 
@@ -58,7 +69,24 @@ def main():
     J = cfg.DATASET.NUM_JOINTS
     rng = np.random.RandomState(0)
     heatmaps = structured_heatmaps(rng, 1, V, H, W, J)
-    cams = dome_cameras(1, V)
+    # rig must match the profile's geometry: wide-baseline perimeter
+    # cameras for the big Campus space, dome otherwise
+    if max(cfg.CAPTURE_SPEC.SPACE_SIZE[:2]) > 9000:
+        from faster_voxelpose_tpu.geometry.example_rigs import perimeter_rig
+
+        cams = perimeter_rig(
+            1, V,
+            space_center=cfg.CAPTURE_SPEC.SPACE_CENTER,
+            ori_image_size=cfg.DATASET.ORI_IMAGE_SIZE,
+        )
+    else:
+        from faster_voxelpose_tpu.geometry.example_rigs import dome_rig
+
+        cams = dome_rig(
+            1, V,
+            space_center=cfg.CAPTURE_SPEC.SPACE_CENTER,
+            ori_image_size=cfg.DATASET.ORI_IMAGE_SIZE,
+        )
 
     results = {}
     variants = [

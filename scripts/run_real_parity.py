@@ -120,6 +120,22 @@ def run_parity(
                 results.append({"name": name, "status": "no-weights"})
                 continue
 
+        if cfg.DATASET.TEST_HEATMAP_SRC == "image":
+            # image path (Panoptic): resolve the released backbone
+            # checkpoint so one command covers preprocess -> backbone
+            # conversion -> validation.  Search order: the config's own
+            # path, then weights_dir/<basename>.
+            bb = cfg.NETWORK.PRETRAINED_BACKBONE
+            if not os.path.isfile(bb):
+                cand = os.path.join(weights_dir, os.path.basename(bb))
+                if os.path.isfile(cand):
+                    cfg.NETWORK.PRETRAINED_BACKBONE = cand
+                else:
+                    print(f"[{name}] SKIP: image heatmap source but no "
+                          f"backbone checkpoint at {bb} or {cand}")
+                    results.append({"name": name, "status": "no-backbone"})
+                    continue
+
         if preprocess and cfg.DATASET.TEST_HEATMAP_SRC == "image":
             _preprocess_images(cfg)
 

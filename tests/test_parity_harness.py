@@ -100,3 +100,104 @@ def test_parity_harness_skips_missing(tmp_path):
     )
     assert results[0]["status"] in ("no-data", "no-weights")
     assert "campus" in open(out_md).read()
+
+
+def test_parity_harness_image_path(tmp_path, monkeypatch):
+    """The Panoptic IMAGE path through the harness: fabricated images +
+    a fabricated torch backbone checkpoint resolved from weights_dir,
+    converted with the real converter, driven through the backboned
+    validation loop.  On a connected machine the same code path consumes
+    the released pose_resnet50_panoptic.pth.tar."""
+    from tests.conftest import add_reference_to_path
+
+    if not add_reference_to_path():
+        pytest.skip("reference not available")
+    import cv2
+    import torch
+
+    from run_real_parity import run_parity
+    from tests.test_backbone import _ref_cfg
+    from tests.test_misc import TestPanopticLoader
+
+    pan_root = str(tmp_path / "Panoptic")
+    os.makedirs(pan_root)
+    seq = "160906_pizza1"
+    TestPanopticLoader._write_sequence(TestPanopticLoader(), pan_root, seq)
+    import faster_voxelpose_tpu.datasets.panoptic as pan
+
+    monkeypatch.setattr(pan, "VAL_SEQUENCES", [seq])
+
+    # the fixture writes empty jpgs; make them real readable frames at
+    # the (shrunk) original size
+    rng = np.random.RandomState(0)
+    for dirpath, _, files in os.walk(pan_root):
+        for fn in files:
+            if fn.endswith(".jpg"):
+                cv2.imwrite(
+                    os.path.join(dirpath, fn),
+                    rng.randint(0, 255, (240, 320, 3), np.uint8),
+                )
+
+    # fabricated released-format backbone checkpoint (depth 18, narrow
+    # deconvs: same converter/loader code path as the real 50)
+    torch.manual_seed(0)
+    from models import resnet as ref_resnet
+
+    weights_dir = str(tmp_path / "weights")
+    os.makedirs(weights_dir)
+    ref_bb = ref_resnet.get(_ref_cfg(18, 15)).eval()
+    torch.save(
+        {"state_dict": ref_bb.state_dict()},
+        os.path.join(weights_dir, "pose_resnet_fixture.pth.tar"),
+    )
+
+    def cfg_hook(name, cfg):
+        _shrink(cfg)
+        cfg.DATASET.ORI_IMAGE_SIZE = (320, 240)
+        cfg.DATASET.IMAGE_SIZE = (160, 128)
+        cfg.DATASET.HEATMAP_SIZE = (40, 32)
+        cfg.DATASET.__post_init__()
+        cfg.DATASET.TEST_HEATMAP_SRC = "image"
+        cfg.RESNET.NUM_LAYERS = 18
+        cfg.RESNET.NUM_DECONV_FILTERS = (32, 32, 32)
+        cfg.RESNET.__post_init__()
+        # a repo-relative path that does not exist: the harness must
+        # fall back to weights_dir/<basename>
+        cfg.NETWORK.PRETRAINED_BACKBONE = "backbone/pose_resnet_fixture.pth.tar"
+
+    out_md = str(tmp_path / "PARITY.md")
+    results = run_parity(
+        data_dir=str(tmp_path),
+        weights_dir=weights_dir,
+        datasets=("panoptic",),
+        max_frames=1,
+        weights_mode="random",
+        out_path=out_md,
+        cfg_hook=cfg_hook,
+    )
+    assert results[0]["status"] == "ok"
+    assert np.isfinite(results[0]["metric"])
+
+
+def test_parity_harness_image_path_skips_without_backbone(tmp_path, monkeypatch):
+    """image heatmap source with no backbone checkpoint anywhere ->
+    recorded 'no-backbone' skip, not a crash."""
+    from run_real_parity import run_parity
+    from tests.test_misc import TestPanopticLoader
+
+    pan_root = str(tmp_path / "Panoptic")
+    os.makedirs(pan_root)
+    seq = "160906_pizza1"
+    TestPanopticLoader._write_sequence(TestPanopticLoader(), pan_root, seq)
+    import faster_voxelpose_tpu.datasets.panoptic as pan
+
+    monkeypatch.setattr(pan, "VAL_SEQUENCES", [seq])
+
+    results = run_parity(
+        data_dir=str(tmp_path),
+        weights_dir=str(tmp_path / "none"),
+        datasets=("panoptic",),
+        weights_mode="random",
+        out_path=str(tmp_path / "PARITY.md"),
+    )
+    assert results[0]["status"] == "no-backbone"
