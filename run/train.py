@@ -24,6 +24,11 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None, help="override END_EPOCH")
     p.add_argument("--num-data", type=int, default=None, help="override SYNTHETIC.NUM_DATA")
     p.add_argument("--resume", action="store_true", help="resume from checkpoint")
+    p.add_argument(
+        "--eval-every", type=int, default=1,
+        help="validate every N epochs (the final epoch always validates); "
+        "long reference-budget runs use N>1 to keep the chip on training",
+    )
     return p.parse_args()
 
 
@@ -196,13 +201,16 @@ def main():
             global_step += 1
 
         eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
-        metric, msg, _ = run_validation(
-            cfg, model, eval_vars, test_ds,
-            dataset_factory=(lambda: test_ds) if cfg.WORKERS > 0 else None,
-        )
-        writer.add_scalar("eval_metric", metric, epoch)
-        is_best = metric > best_metric
-        best_metric = max(metric, best_metric)
+        if (epoch + 1) % args.eval_every == 0 or epoch + 1 == cfg.TRAIN.END_EPOCH:
+            metric, msg, _ = run_validation(
+                cfg, model, eval_vars, test_ds,
+                dataset_factory=(lambda: test_ds) if cfg.WORKERS > 0 else None,
+            )
+            writer.add_scalar("eval_metric", metric, epoch)
+            is_best = metric > best_metric
+            best_metric = max(metric, best_metric)
+        else:
+            is_best = False
         save_checkpoint(output_dir, state, epoch + 1, best_metric, is_best, eval_vars)
 
     loader.close()
