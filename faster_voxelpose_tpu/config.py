@@ -112,6 +112,12 @@ class NetworkConfig:
     # f32-exact MXU passes (3x slower sampling); DEFAULT bf16 passes err
     # ~2e-3, below the bf16 conv stack's own noise
     PALLAS_EXACT: bool = False
+    # compute the voxel->pixel projection INSIDE the JLN sampling kernel
+    # (tile world origins + camera rig in, no per-sample coords tensor —
+    # saves the XLA coords pass and its ~105MB/frame HBM round trip);
+    # window flags from projected tile corners + interval-arithmetic
+    # distortion bounds, still exact everywhere via the cover fallback
+    PALLAS_FUSED_COORDS: bool = False
     # run the kernel in the Pallas interpreter (CPU tests only)
     PALLAS_INTERPRET: bool = False
     # whole-space (HDN) projection through the same kernel (vs ~7.2ms

@@ -69,6 +69,8 @@ def resolve_sampling_spec(cfg: Config):
         window_y=-(-int(cfg.NETWORK.PALLAS_WINDOW[1]) // ysub) * ysub,
         exact=exact,
         interpret=interpret and not on_tpu,
+        fused_coords=bool(cfg.NETWORK.PALLAS_FUSED_COORDS)
+        and not any(d & (d - 1) for d in tile),
     )
     # one joint group's packed heatmaps must be VMEM-resident per launch
     # (the bound is independent of J: extra joints become extra groups;

@@ -456,25 +456,53 @@ def project_individual_planes_pallas(
     rt = jnp.asarray(geom.resize_transform, jnp.float32)
     w, h = geom.heatmap_size
 
-    def person_coords(tl):
-        pts = origin + (tl[None, :] + offs).astype(jnp.float32) * fine_step
+    fused_fp = None
+    if getattr(spec, "fused_coords", False):
+        # fused-coords mode: ship only each tile's WORLD origin; the
+        # kernel projects per sample on the VPU (sample_tiles_fused) —
+        # no (K*nb, V, 2, S) coords tensor, no ~105MB/frame round trip
+        from ..ops.pallas_sampling import FusedProj
 
-        def per_view(cam):
-            norm = project_to_norm_coords(
-                pts, cam, rt, geom.ori_image_size, geom.image_size,
-                geom.heatmap_size,
-            )
-            # normalized [-1.1, 1.1] -> pixel frame (same clamp semantics
-            # as the quad path; out-of-image pixels weight to zero in the
-            # kernel's image-clipped windows)
-            return (norm + 1.0) * 0.5 * jnp.asarray(
-                [w - 1, h - 1], jnp.float32
-            )
+        tile_bases = jnp.asarray(
+            tile_offsets_np((vx, vy, vz), spec.tile)[:: spec.samples],
+            jnp.float32,
+        )  # (nb, 3) first-voxel index of each tile
+        blocks = jax.vmap(
+            lambda tl: origin + (tl[None, :].astype(jnp.float32) + tile_bases)
+            * fine_step
+        )(centers_tl).reshape(K * nb, 3)
+        rt_np = np.asarray(geom.resize_transform, np.float64)
+        fused_fp = FusedProj(
+            step=tuple(float(v) for v in np.asarray(geom.space_size)
+                       / (np.asarray(geom.fine_voxels_per_axis) - 1.0)),
+            t=tuple(float(v) for v in rt_np.ravel()),
+            clip_hi=float(max(geom.ori_image_size)),
+            hm_w=float(w), hm_h=float(h),
+            img_w=float(geom.image_size[0]),
+            img_h=float(geom.image_size[1]),
+            wm1=float(w - 1), hm1=float(h - 1),
+        )
+    else:
 
-        pix = jax.vmap(per_view)(cams)  # (V, N, 2)
-        return pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)  # (nb,V,2,s)
+        def person_coords(tl):
+            pts = origin + (tl[None, :] + offs).astype(jnp.float32) * fine_step
 
-    blocks = jax.vmap(person_coords)(centers_tl).reshape(K * nb, -1, 2, s)
+            def per_view(cam):
+                norm = project_to_norm_coords(
+                    pts, cam, rt, geom.ori_image_size, geom.image_size,
+                    geom.heatmap_size,
+                )
+                # normalized [-1.1, 1.1] -> pixel frame (same clamp
+                # semantics as the quad path; out-of-image pixels weight
+                # to zero in the kernel's image-clipped windows)
+                return (norm + 1.0) * 0.5 * jnp.asarray(
+                    [w - 1, h - 1], jnp.float32
+                )
+
+            pix = jax.vmap(per_view)(cams)  # (V, N, 2)
+            return pix.reshape(-1, nb, s, 2).transpose(1, 0, 3, 2)
+
+        blocks = jax.vmap(person_coords)(centers_tl).reshape(K * nb, -1, 2, s)
 
     # per-sample bbox mask in tile-blocked order, applied INSIDE the
     # kernel: the old epilogue's three full-cube f32 broadcast multiplies
@@ -493,10 +521,18 @@ def project_individual_planes_pallas(
         # (roll-max + selector compaction) — the 64^3 cubes never touch
         # HBM, and the old strided XLA max reductions (~3.4ms/frame at
         # the Panoptic profile) shrink to small per-axis maxes
-        pxy, pxz, pyz = sample_tiles(
-            hm_packed, blocks, spec, valid=bvalid, mask=mask_blocked,
-            out_dtype=out_dtype, emit_planes=True,
-        )
+        if fused_fp is not None:
+            from ..ops.pallas_sampling import sample_tiles_fused
+
+            pxy, pxz, pyz = sample_tiles_fused(
+                hm_packed, blocks, cams, fused_fp, spec, valid=bvalid,
+                mask=mask_blocked, out_dtype=out_dtype, emit_planes=True,
+            )
+        else:
+            pxy, pxz, pyz = sample_tiles(
+                hm_packed, blocks, spec, valid=bvalid, mask=mask_blocked,
+                out_dtype=out_dtype, emit_planes=True,
+            )
 
         def finish(p, keep, na, nb_, ta, tb, axis):
             p = p.reshape(K, ntx, nty, ntz, jp, -1)[..., :keep].max(axis=axis)
@@ -508,10 +544,18 @@ def project_individual_planes_pallas(
         plane_yz = finish(pyz, ty * tz, nty, ntz, ty, tz, 1)
         return plane_xy, plane_xz, plane_yz
 
-    vals = sample_tiles(
-        hm_packed, blocks, spec, valid=bvalid, mask=mask_blocked,
-        out_dtype=out_dtype,
-    )  # (K*nb, JP, S)
+    if fused_fp is not None:
+        from ..ops.pallas_sampling import sample_tiles_fused
+
+        vals = sample_tiles_fused(
+            hm_packed, blocks, cams, fused_fp, spec, valid=bvalid,
+            mask=mask_blocked, out_dtype=out_dtype,
+        )
+    else:
+        vals = sample_tiles(
+            hm_packed, blocks, spec, valid=bvalid, mask=mask_blocked,
+            out_dtype=out_dtype,
+        )  # (K*nb, JP, S)
 
     # max-projections in tile-blocked layout (mask already applied)
     v8 = vals.reshape(K, ntx, nty, ntz, jp, tx, ty, tz)

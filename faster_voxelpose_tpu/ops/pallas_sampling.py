@@ -85,6 +85,11 @@ class SampleKernelSpec:
     # cost where the VPU packs bf16; only honored when exact=False (the
     # MXU stage already rounds to bf16 products there)
     vpu_bf16: bool = True
+    # compute voxel->pixel projection in-kernel from tile origins + the
+    # camera rig (sample_tiles_fused) instead of consuming an XLA coords
+    # pass; window flags from corner-interval bounds.  Exact-everywhere
+    # either way; requires power-of-two tile dims.
+    fused_coords: bool = False
 
     # ---- derived static shapes ----------------------------------------
     @property
@@ -446,7 +451,254 @@ def _emit_plane_partials(fa, refs, sels, spec, precision):
     oyz_ref[0] = ax[:, :lyz].astype(fa.dtype)
 
 
-def _kernel_body(valid_ref, *refs, spec, masked, planes):
+@dataclasses.dataclass(frozen=True)
+class FusedProj:
+    """Static constants of the fused in-kernel voxel->pixel projection
+    (world tile origin + iota offsets -> camera -> distortion -> resize
+    affine -> heatmap frame), mirroring project_to_norm_coords +
+    project_points op-for-op (geometry/grids.py:58-93,
+    geometry/cameras.py:90-126) so the in-kernel coordinates match the
+    XLA coords pass to float rounding.  All fields are Python floats
+    (trace-time constants baked into the kernel)."""
+
+    step: Tuple[float, float, float]  # voxel pitch (mm) per axis
+    t: Tuple[float, float, float, float, float, float]  # 2x3 resize affine
+    clip_hi: float  # max(ori_image_size): post-projection pixel clamp
+    hm_w: float  # heatmap W
+    hm_h: float
+    img_w: float  # network input W
+    img_h: float
+    wm1: float  # heatmap W - 1
+    hm1: float
+
+
+def _tile_coords(origin_ref, cams_ref, v, spec: SampleKernelSpec,
+                 fp: FusedProj):
+    """In-kernel pixel coords of one tile's samples for view v: (x, y)
+    each (S,) f32.  Replaces the XLA coords pass + its (NB, V, 2, S) HBM
+    round trip (~105MB/frame at the Panoptic JLN profile).  The op
+    sequence mirrors project_points/project_to_norm_coords exactly (same
+    associativity), so values agree with the XLA pass to f32 rounding —
+    the conservative corner-interval window flags
+    (compute_window_flags_fused) absorb any residual ulp drift."""
+    s = spec.padded_samples
+    tx, ty, tz = spec.tile
+    n = spec.samples
+    shz = tz.bit_length() - 1
+    shyz = (ty * tz).bit_length() - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    lane = jnp.minimum(lane, n - 1)  # pad lanes replicate the last sample
+    dx = (lane >> shyz).astype(jnp.float32)
+    dy = ((lane >> shz) & (ty - 1)).astype(jnp.float32)
+    dz = (lane & (tz - 1)).astype(jnp.float32)
+
+    wx = origin_ref[0, 0] + dx * fp.step[0]
+    wy = origin_ref[0, 1] + dy * fp.step[1]
+    wz = origin_ref[0, 2] + dz * fp.step[2]
+
+    def c(i):
+        return cams_ref[v, i]
+
+    # world -> camera (explicit multiply-adds, geometry/cameras.py:109-117)
+    xt0, xt1, xt2 = wx - c(9), wy - c(10), wz - c(11)
+    xc0 = xt0 * c(0) + xt1 * c(1) + xt2 * c(2)
+    xc1 = xt0 * c(3) + xt1 * c(4) + xt2 * c(5)
+    xc2 = xt0 * c(6) + xt1 * c(7) + xt2 * c(8)
+    y0 = xc0 / (xc2 + 1e-5)
+    y1 = xc1 / (xc2 + 1e-5)
+
+    # radial + tangential distortion (cameras.py:120-126)
+    r2 = y0 * y0 + y1 * y1
+    d = 1.0 + c(16) * r2 + c(17) * r2 * r2 + c(18) * r2 * r2 * r2
+    u = y0 * d + 2.0 * c(19) * y0 * y1 + c(20) * (r2 + 2.0 * y0 * y0)
+    w_ = y1 * d + 2.0 * c(20) * y0 * y1 + c(19) * (r2 + 2.0 * y1 * y1)
+    px = u * c(12) + c(14)
+    py = w_ * c(13) + c(15)
+
+    # original-image clamp, resize affine, heatmap rescale, norm clamp,
+    # back to the pixel frame (grids.py:75-93 op order)
+    px = jnp.clip(px, -1.0, fp.clip_hi)
+    py = jnp.clip(py, -1.0, fp.clip_hi)
+    qx = px * fp.t[0] + py * fp.t[1] + fp.t[2]
+    qy = px * fp.t[3] + py * fp.t[4] + fp.t[5]
+    qx = qx * fp.hm_w / fp.img_w
+    qy = qy * fp.hm_h / fp.img_h
+    nx_ = jnp.clip(qx / fp.wm1 * 2.0 - 1.0, -1.1, 1.1)
+    ny_ = jnp.clip(qy / fp.hm1 * 2.0 - 1.0, -1.1, 1.1)
+    x = (nx_ + 1.0) * 0.5 * fp.wm1
+    y = (ny_ + 1.0) * 0.5 * fp.hm1
+    return x.reshape(s), y.reshape(s)
+
+
+# ---- interval arithmetic (host of the fused window flags) -----------------
+# intervals are (lo, hi) pairs of equal-shape arrays; every op is
+# conservative, so the resulting pixel bounds are GUARANTEED supersets of
+# the in-kernel sample coordinates (up to f32 rounding, absorbed by the
+# caller's epsilon).
+
+
+def _imul(a, b):
+    p1, p2 = a[0] * b[0], a[0] * b[1]
+    p3, p4 = a[1] * b[0], a[1] * b[1]
+    return (
+        jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+        jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+    )
+
+
+def _iadd(a, b):
+    return a[0] + b[0], a[1] + b[1]
+
+
+def _isq(a):
+    lo2, hi2 = a[0] * a[0], a[1] * a[1]
+    spans0 = (a[0] <= 0.0) & (a[1] >= 0.0)
+    return (
+        jnp.where(spans0, 0.0, jnp.minimum(lo2, hi2)),
+        jnp.maximum(lo2, hi2),
+    )
+
+
+def _icmul(k, a):
+    """Constant (scalar array or python float) times interval."""
+    lo, hi = k * a[0], k * a[1]
+    return jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+
+
+def _ichain_affine(xI, yI, t0, t1, t2):
+    """Interval of t0*x + t1*y + t2 with python-float coefficients."""
+    xs = (t0 * xI[0], t0 * xI[1]) if t0 >= 0 else (t0 * xI[1], t0 * xI[0])
+    ys = (t1 * yI[0], t1 * yI[1]) if t1 >= 0 else (t1 * yI[1], t1 * yI[0])
+    return xs[0] + ys[0] + t2, xs[1] + ys[1] + t2
+
+
+def compute_window_flags_fused(
+    origins: jnp.ndarray,  # (NB, 3) world coords of each tile's first voxel
+    cams: jnp.ndarray,  # (V, 21)
+    spec: SampleKernelSpec,
+    fp: FusedProj,
+    eps_px: float = 0.5,
+):
+    """Window anchors/flags for the fused-coords kernel, from projected
+    TILE CORNERS + interval-arithmetic distortion bounds instead of the
+    per-sample coords (8 points per tile/view instead of spec.samples —
+    the coords pass this replaces wrote ~105MB/frame).
+
+    Guarantee chain: depth is linear in world coords, so all-corners
+    depth >= delta bounds the whole tile away from the camera plane;
+    perspective projection of a convex polytope on one side of that
+    plane is the convex hull of its vertex projections, so the corner
+    min/max bound every sample's undistorted (xn, yn); the distortion
+    polynomial and the affine/clamp chain are then evaluated in interval
+    arithmetic, which is conservative by construction.  Tiles that fail
+    the depth precondition get full-image support bounds and fast=0 —
+    the kernel's exact cover path handles them for ANY coordinates.
+    eps_px absorbs f32 associativity drift between this pass and the
+    in-kernel per-sample evaluation (measured drift is <1e-3 px; the
+    margin only costs fast-rate, never correctness)."""
+    tx, ty, tz = spec.tile
+    corner_off = np.array(
+        [
+            [dx * (tx - 1) * fp.step[0],
+             dy * (ty - 1) * fp.step[1],
+             dz * (tz - 1) * fp.step[2]]
+            for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+        ],
+        np.float32,
+    )  # (8, 3)
+    pts = origins[:, None, :] + jnp.asarray(corner_off)[None]  # (NB, 8, 3)
+
+    def per_view(cam):
+        R = cam[0:9].reshape(3, 3)
+        T = cam[9:12]
+        f = cam[12:14]
+        cc = cam[14:16]
+        k = cam[16:19]
+        tp = cam[19:21]
+        xt = pts - T[None, None, :]
+        xc0 = xt[..., 0] * R[0, 0] + xt[..., 1] * R[0, 1] + xt[..., 2] * R[0, 2]
+        xc1 = xt[..., 0] * R[1, 0] + xt[..., 1] * R[1, 1] + xt[..., 2] * R[1, 2]
+        xc2 = xt[..., 0] * R[2, 0] + xt[..., 1] * R[2, 1] + xt[..., 2] * R[2, 2]
+        z = xc2 + 1e-5
+        ok = jnp.min(z, axis=-1) >= 1e-4  # (NB,)
+        zsafe = jnp.where(z > 0, z, 1.0)  # avoid inf; gated by ok anyway
+        y0 = xc0 / zsafe
+        y1 = xc1 / zsafe
+        yxI = (jnp.min(y0, -1), jnp.max(y0, -1))
+        yyI = (jnp.min(y1, -1), jnp.max(y1, -1))
+
+        r2I = _iadd(_isq(yxI), _isq(yyI))
+        r4I = _isq(r2I)
+        r6I = _imul(r2I, r4I)
+        dI = _iadd(
+            _iadd((jnp.ones_like(r2I[0]), jnp.ones_like(r2I[0])),
+                  _icmul(k[0], r2I)),
+            _iadd(_icmul(k[1], r4I), _icmul(k[2], r6I)),
+        )
+        xyI = _imul(yxI, yyI)
+        uI = _iadd(
+            _iadd(_imul(yxI, dI), _icmul(2.0 * tp[0], xyI)),
+            _icmul(tp[1], _iadd(r2I, _icmul(2.0, _isq(yxI)))),
+        )
+        vI = _iadd(
+            _iadd(_imul(yyI, dI), _icmul(2.0 * tp[1], xyI)),
+            _icmul(tp[0], _iadd(r2I, _icmul(2.0, _isq(yyI)))),
+        )
+        pxI = _iadd(_icmul(f[0], uI), (cc[0], cc[0]))
+        pyI = _iadd(_icmul(f[1], vI), (cc[1], cc[1]))
+
+        # original-image clamp (monotone), resize affine (sign-aware),
+        # heatmap rescale, norm clamp, back to the pixel frame
+        pxC = (jnp.clip(pxI[0], -1.0, fp.clip_hi),
+               jnp.clip(pxI[1], -1.0, fp.clip_hi))
+        pyC = (jnp.clip(pyI[0], -1.0, fp.clip_hi),
+               jnp.clip(pyI[1], -1.0, fp.clip_hi))
+        qxI = _ichain_affine(pxC, pyC, fp.t[0], fp.t[1], fp.t[2])
+        qyI = _ichain_affine(pxC, pyC, fp.t[3], fp.t[4], fp.t[5])
+        sx = fp.hm_w / fp.img_w
+        sy = fp.hm_h / fp.img_h
+        qxI = _icmul(sx, qxI)
+        qyI = _icmul(sy, qyI)
+
+        def to_pixel(qI, m1):
+            lo = jnp.clip(qI[0] / m1 * 2.0 - 1.0, -1.1, 1.1)
+            hi = jnp.clip(qI[1] / m1 * 2.0 - 1.0, -1.1, 1.1)
+            return ((lo + 1.0) * 0.5 * m1 - eps_px,
+                    (hi + 1.0) * 0.5 * m1 + eps_px)
+
+        xI = to_pixel(qxI, fp.wm1)
+        yI = to_pixel(qyI, fp.hm1)
+        return ok, xI[0], xI[1], yI[0], yI[1]
+
+    ok, xlo, xhi, ylo, yhi = jax.vmap(per_view, out_axes=1)(cams)  # (NB, V)
+
+    w, h = spec.width, spec.height
+    xw, yw = spec.xw, spec.yw
+    wp, hp = spec.wp, spec.hp
+    sub = spec.sub
+
+    # conservative support bounds: [floor(lo), floor(hi)+1] clipped into
+    # the image always CONTAINS the true per-sample support union; tiles
+    # failing the depth precondition get the full image (cover path
+    # skips nothing — rare and exact)
+    ax = jnp.where(ok, jnp.clip(jnp.floor(xlo), 0, w - 1), 0).astype(jnp.int32)
+    bx = jnp.where(
+        ok, jnp.clip(jnp.floor(xhi) + 1, 0, w - 1), w - 1
+    ).astype(jnp.int32)
+    ay = jnp.where(ok, jnp.clip(jnp.floor(ylo), 0, h - 1), 0).astype(jnp.int32)
+    by = jnp.where(
+        ok, jnp.clip(jnp.floor(yhi) + 1, 0, h - 1), h - 1
+    ).astype(jnp.int32)
+    ox8 = jnp.clip(ax, 0, wp - xw) // 8
+    oyq = jnp.clip(ay, 0, hp - yw) // sub
+    fast = ok & (bx <= ox8 * 8 + (xw - 1)) & (by <= oyq * sub + (yw - 1))
+    w0 = ox8 | (oyq << 12) | (fast.astype(jnp.int32) << 24)
+    w1 = (ax + 1) | ((bx + 1) << 16)
+    w2 = (ay + 1) | ((by + 1) << 16)
+    return jnp.stack([w0, w1, w2], axis=-1)  # (NB, V, 3) int32
+
+
+def _kernel_body(valid_ref, *refs, spec, masked, planes, fused=None):
     """Grid step = one tile: camera-mean of per-view bilinear samples.
 
     Invalid blocks (undetected proposal slots) write zeros and skip all
@@ -487,7 +739,13 @@ def _kernel_body(valid_ref, *refs, spec, masked, planes):
         out_ref = refs.pop(-1)
         out_refs = sel_refs = None
     mask_ref = refs.pop(-1) if masked else None
-    if single:
+    if fused is not None:
+        # fused-coords mode: per-sample pixel coords are computed inside
+        # the kernel from the tile's world origin + the camera rig; the
+        # coords input (and its HBM round trip) does not exist
+        flags_ref, origin_ref, cams_ref, hm_ref = refs
+        coords_ref = None
+    elif single:
         coords_ref, hm_ref = refs
         flags_ref = None
     else:
@@ -518,8 +776,11 @@ def _kernel_body(valid_ref, *refs, spec, masked, planes):
         acc = jnp.zeros((spec.jp, spec.padded_samples), jnp.float32)
         slow_views = []
         for v in range(V):
-            x = coords_ref[0, v, 0, :]
-            y = coords_ref[0, v, 1, :]
+            if fused is not None:
+                x, y = _tile_coords(origin_ref, cams_ref, v, spec, fused)
+            else:
+                x = coords_ref[0, v, 0, :]
+                y = coords_ref[0, v, 1, :]
             if single:
                 # window = whole padded image: always exact
                 acc += _window_contrib(
@@ -580,13 +841,16 @@ def _kernel_body(valid_ref, *refs, spec, masked, planes):
 
 def _sample_tiles_group(
     hm_group: jnp.ndarray,  # (V, Hp, Wp*JP) one 16-joint group
-    coords: jnp.ndarray,  # (NB, V, 2, S) padded-sample pixel coords
+    coords: jnp.ndarray,  # (NB, V, 2, S) pixel coords, or (NB, 3) world
+    #                        tile origins in fused-coords mode
     spec: SampleKernelSpec,
     valid: jnp.ndarray,  # (NB,) int32
     flags: jnp.ndarray,  # (NB, V, 3) int32 or None when single-window
     mask: jnp.ndarray,  # (NB, S) per-sample weights or None
     out_dtype,
     planes: bool = False,
+    fused: FusedProj = None,
+    cams: jnp.ndarray = None,  # (V, 21), fused mode only
 ):  # (NB, JP, S) cube, or ((NB,JP,LXY),(NB,JP,LXZ),(NB,JP,LYZ)) partials
     nb = coords.shape[0]
     V = spec.n_views
@@ -594,24 +858,39 @@ def _sample_tiles_group(
     single = flags is None
     out_shape = jax.ShapeDtypeStruct((nb, spec.jp, s), out_dtype)
     kern = functools.partial(
-        _kernel_body, spec=spec, masked=mask is not None, planes=planes
+        _kernel_body, spec=spec, masked=mask is not None, planes=planes,
+        fused=fused,
     )
-    in_specs = [
-        pl.BlockSpec(
-            (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # heatmaps resident
-    ]
-    args = [valid, coords, hm_group]
-    if not single:
-        in_specs.insert(
-            0,
+    if fused is not None:
+        in_specs = [
             pl.BlockSpec(
                 (1, V, 3), lambda i, _v: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-        )
-        args = [valid, flags, coords, hm_group]
+            pl.BlockSpec(
+                (1, 3), lambda i, _v: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cams resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # heatmaps resident
+        ]
+        args = [valid, flags, coords, cams, hm_group]
+    else:
+        in_specs = [
+            pl.BlockSpec(
+                (1, V, 2, s), lambda i, _v: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # heatmaps resident
+        ]
+        args = [valid, coords, hm_group]
+        if not single:
+            in_specs.insert(
+                0,
+                pl.BlockSpec(
+                    (1, V, 3), lambda i, _v: (i, 0, 0),
+                    memory_space=pltpu.VMEM
+                ),
+            )
+            args = [valid, flags, coords, hm_group]
     if mask is not None:
         # 8 rows per block (sublane divisibility); consecutive grid steps
         # share a block so each group of 8 is fetched once
@@ -724,6 +1003,69 @@ def sample_tiles(
         )
     out = outs[0] if spec.groups == 1 else jnp.concatenate(outs, axis=1)
     return out[:, :, :s_in] if s_in != s else out
+
+
+def sample_tiles_fused(
+    hm_packed: jnp.ndarray,  # (G, V, Hp, Wp*JP) from pack_heatmaps
+    origins: jnp.ndarray,  # (NB, 3) world coords of each tile's 1st voxel
+    cams: jnp.ndarray,  # (V, 21) packed rig
+    fp: FusedProj,
+    spec: SampleKernelSpec,
+    valid: jnp.ndarray = None,
+    mask: jnp.ndarray = None,
+    out_dtype=jnp.float32,
+    emit_planes: bool = False,
+):
+    """sample_tiles with the voxel->pixel projection fused INTO the
+    kernel: callers pass world-space tile origins + the camera rig
+    instead of per-sample pixel coords, eliminating the XLA coords pass
+    and its (NB, V, 2, S) HBM round trip (~105MB/frame at the Panoptic
+    JLN profile).  Window flags come from projected tile corners +
+    interval-arithmetic distortion bounds (conservative, see
+    compute_window_flags_fused); every tile the corner bound cannot
+    certify takes the exact in-kernel cover path, so the result is exact
+    for any rig, like sample_tiles.
+
+    Requires power-of-two tile dims (in-kernel sample unravel uses
+    shifts) and a multi-window spec (nx*ny > 1)."""
+    spec.validate()
+    tx, ty, tz = spec.tile
+    if any(d & (d - 1) for d in spec.tile):
+        raise ValueError(f"fused coords require power-of-two tile, got {spec.tile}")
+    if spec.nx == 1 and spec.ny == 1:
+        raise ValueError("fused coords require a multi-window spec")
+    nb = origins.shape[0]
+    s = spec.padded_samples
+    if emit_planes and spec.samples != s:
+        raise ValueError("emit_planes requires samples==padded_samples")
+    if valid is None:
+        valid = jnp.ones((nb,), jnp.int32)
+    else:
+        valid = valid.astype(jnp.int32)
+    if mask is not None:
+        if mask.shape[-1] != s:
+            mask = jnp.pad(mask, ((0, 0), (0, s - mask.shape[-1])))
+        mask = mask.astype(spec.pack_dtype)
+        if nb % 8:
+            mask = jnp.pad(mask, ((0, 8 - nb % 8), (0, 0)))
+    origins = origins.astype(jnp.float32)
+    cams = cams.astype(jnp.float32)
+    flags = compute_window_flags_fused(origins, cams, spec, fp)
+    outs = [
+        _sample_tiles_group(
+            hm_packed[g], origins, spec, valid, flags, mask, out_dtype,
+            planes=emit_planes, fused=fp, cams=cams,
+        )
+        for g in range(spec.groups)
+    ]
+    if emit_planes:
+        if spec.groups == 1:
+            return tuple(outs[0])
+        return tuple(
+            jnp.concatenate([o[k] for o in outs], axis=1) for k in range(3)
+        )
+    out = outs[0] if spec.groups == 1 else jnp.concatenate(outs, axis=1)
+    return out[:, :, : spec.samples] if spec.samples != s else out
 
 
 # ---------------------------------------------------------------------------

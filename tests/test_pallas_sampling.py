@@ -381,3 +381,146 @@ def test_padded_tile_lanes():
     assert ours.shape == (5, spec.jp_total, spec.samples)
     ref = np.asarray(_xla_reference(jnp.asarray(hm), jnp.asarray(coords), spec))
     np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+
+def test_fused_coords_matches_quad():
+    """sample_tiles_fused end to end through the JLN driver: in-kernel
+    voxel->pixel projection + corner-interval window flags reproduce the
+    quad path (which the coords-pass kernel already matches).  Includes
+    a person close to a camera (footprint blows past any window -> depth
+    precondition or fast-bit fails -> exact cover fallback)."""
+    from tests.test_model_parity import build_our_config
+    from __graft_entry__ import _example_cameras
+    from faster_voxelpose_tpu.models.projection import (
+        compute_crop_origin,
+        make_projection_geometry,
+        project_individual_planes,
+        project_individual_planes_pallas,
+    )
+    from faster_voxelpose_tpu.ops.sampling import build_quad_table
+
+    cfg = build_our_config()
+    geom = make_projection_geometry(cfg)
+    V = cfg.DATASET.CAMERA_NUM
+    J = cfg.DATASET.NUM_JOINTS
+    W, H = cfg.DATASET.HEATMAP_SIZE
+
+    spec = SampleKernelSpec(
+        n_views=V, height=H, width=W, num_joints=J,
+        tile=(8, 8, 8), window_x=24, window_y=32,
+        exact=True, interpret=True, fused_coords=True,
+    )
+
+    rng = np.random.RandomState(1)
+    hm = rng.rand(V, H, W, J).astype(np.float32)
+    cams = _example_cameras(1, V)[0]
+
+    K = 4
+    centers = rng.uniform(-1000, 1000, (K, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(600, 1000, K)
+    # last person sits almost on top of camera 0 (wild footprint)
+    cam_pos = np.asarray(cams[0, 9:12])
+    centers[K - 1] = cam_pos + np.array([120.0, 80.0, -250.0], np.float32)
+    tl, _ = compute_crop_origin(geom, jnp.asarray(centers))
+    bbox = rng.uniform(0.3, 0.9, (K, 2)).astype(np.float32)
+    valid = jnp.asarray([True, True, False, True])
+
+    quads = jax.vmap(build_quad_table)(jnp.asarray(hm))
+    ref = project_individual_planes(geom, quads, cams, tl, bbox, valid)
+
+    hm_packed = pack_heatmaps(jnp.asarray(hm), spec)
+    ours = project_individual_planes_pallas(
+        geom, hm_packed, cams, tl, bbox, valid, spec
+    )
+    # in-kernel coords match the XLA pass to f32 rounding; bilinear
+    # weights inherit that drift, hence the slightly looser atol than
+    # the coords-pass variant's 5e-6
+    for a, b in zip(ours, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_corner_bounds_contain_samples():
+    """The exactness-critical invariant of the fused path: the interval
+    window bounds (projected tile corners + interval distortion) CONTAIN
+    every true per-sample pixel support, for strong distortion and for
+    tiles near/behind the camera (which must simply fail the fast bit)."""
+    from faster_voxelpose_tpu.geometry.example_rigs import (
+        dome_camera, perimeter_camera,
+    )
+    from faster_voxelpose_tpu.geometry.cameras import pack_rig
+    from faster_voxelpose_tpu.geometry.grids import project_to_norm_coords
+    from faster_voxelpose_tpu.ops.pallas_sampling import (
+        FusedProj, compute_window_flags_fused,
+    )
+
+    W, H = 48, 40
+    spec = SampleKernelSpec(
+        n_views=3, height=H, width=W, num_joints=5,
+        tile=(4, 4, 8), window_x=24, window_y=32,
+        exact=True, interpret=True, fused_coords=True,
+    )
+    cam_list = [
+        dome_camera(0, 3, ori_image_size=(320, 240)),
+        perimeter_camera(1, 3, space_center=(0, 0, 900),
+                         ori_image_size=(320, 240), radius_range=(2500, 3000)),
+        dome_camera(2, 3, ori_image_size=(320, 240),
+                    radius_range=(500, 700)),  # close-in: wild tiles
+    ]
+    # crank the distortion far beyond any real rig
+    cam_list[0]["k"] = np.array([[-0.6], [0.3], [-0.05]])
+    cam_list[0]["p"] = np.array([[5e-3], [-4e-3]])
+    cams = jnp.asarray(pack_rig(cam_list).astype(np.float32))
+
+    step = (60.0, 60.0, 40.0)
+    rt = np.array([[0.5, 0.0, 0.0], [0.0, 0.5, 0.0]], np.float64)
+    fp = FusedProj(
+        step=step, t=tuple(rt.ravel()), clip_hi=320.0,
+        hm_w=float(W), hm_h=float(H), img_w=160.0, img_h=120.0,
+        wm1=float(W - 1), hm1=float(H - 1),
+    )
+
+    rng = np.random.RandomState(7)
+    nb = 64
+    # origins all around (and inside!) the rig, including behind cameras
+    origins = rng.uniform(-3500, 3500, (nb, 3)).astype(np.float32)
+    origins[:, 2] = rng.uniform(-500, 2500, nb)
+    flags = np.asarray(compute_window_flags_fused(
+        jnp.asarray(origins), cams, spec, fp
+    ))
+
+    # true per-sample pixel coords via the XLA projection chain
+    tx, ty, tz = spec.tile
+    offs = np.stack(np.meshgrid(
+        np.arange(tx), np.arange(ty), np.arange(tz), indexing="ij"
+    ), -1).reshape(-1, 3).astype(np.float32) * np.asarray(step, np.float32)
+    pts = origins[:, None, :] + offs[None]  # (nb, S, 3)
+
+    def pix(cam, p):
+        norm = project_to_norm_coords(
+            jnp.asarray(p), cam, jnp.asarray(rt, jnp.float32),
+            (320, 240), (160, 120), (W, H),
+        )
+        return np.asarray(
+            (norm + 1.0) * 0.5 * jnp.asarray([W - 1, H - 1], jnp.float32)
+        )
+
+    for v in range(3):
+        xy = np.stack([pix(cams[v], pts[b]) for b in range(nb)])  # (nb,S,2)
+        w1, w2 = flags[:, v, 1], flags[:, v, 2]
+        ax, bx = (w1 & 0xFFFF) - 1, (w1 >> 16) - 1
+        ay, by = (w2 & 0xFFFF) - 1, (w2 >> 16) - 1
+        for b in range(nb):
+            x, y = xy[b, :, 0], xy[b, :, 1]
+            # support pixels of in-image samples
+            for val, lo_b, hi_b, dim in ((x, ax[b], bx[b], W),
+                                         (y, ay[b], by[b], H)):
+                lo = np.floor(val)
+                hi = lo + 1
+                ok = (hi >= 0) & (lo <= dim - 1)
+                if not ok.any():
+                    continue
+                smin = np.clip(lo[ok], 0, dim - 1).min()
+                smax = np.clip(hi[ok], 0, dim - 1).max()
+                assert lo_b <= smin and smax <= hi_b, (
+                    v, b, lo_b, smin, smax, hi_b,
+                )
