@@ -122,6 +122,27 @@ def main():
             dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=False,
                  PALLAS_WHOLE=True),
         ),
+        # production defaults (config.py: tile (8,8,32), window (40,128),
+        # whole-space kernel ON) and the same + fused in-kernel
+        # voxel->pixel projection (no XLA coords pass for the JLN)
+        (
+            "pallas_prod",
+            dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=False,
+                 PALLAS_TILE=(8, 8, 32), PALLAS_WINDOW=(40, 128),
+                 PALLAS_WHOLE=True),
+        ),
+        (
+            "pallas_fused",
+            dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=False,
+                 PALLAS_TILE=(8, 8, 32), PALLAS_WINDOW=(40, 128),
+                 PALLAS_WHOLE=True, PALLAS_FUSED_COORDS=True),
+        ),
+        (
+            "pallas_fused_exact",
+            dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=True,
+                 PALLAS_TILE=(8, 8, 32), PALLAS_WINDOW=(40, 128),
+                 PALLAS_WHOLE=True, PALLAS_FUSED_COORDS=True),
+        ),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     if only:
@@ -130,6 +151,7 @@ def main():
         SAMPLING_BACKEND="quad", PALLAS_EXACT=False,
         PALLAS_WINDOW=(40, 48), PALLAS_TILE=(8, 8, 8),
         PALLAS_WHOLE=False, COMPUTE_DTYPE="float32",
+        PALLAS_FUSED_COORDS=False,
     )
     variables = None
     for name, overrides in variants:
