@@ -472,7 +472,7 @@ class FusedProj:
     hm1: float
 
 
-def _tile_coords(origin_ref, cams_ref, v, spec: SampleKernelSpec,
+def _tile_coords(origin_ref, row, cams_ref, v, spec: SampleKernelSpec,
                  fp: FusedProj):
     """In-kernel pixel coords of one tile's samples for view v: (x, y)
     each (S,) f32.  Replaces the XLA coords pass + its (NB, V, 2, S) HBM
@@ -492,9 +492,12 @@ def _tile_coords(origin_ref, cams_ref, v, spec: SampleKernelSpec,
     dy = ((lane >> shz) & (ty - 1)).astype(jnp.float32)
     dz = (lane & (tz - 1)).astype(jnp.float32)
 
-    wx = origin_ref[0, 0] + dx * fp.step[0]
-    wy = origin_ref[0, 1] + dy * fp.step[1]
-    wz = origin_ref[0, 2] + dz * fp.step[2]
+    # origins live in SMEM (whole array, dynamically indexed by the grid
+    # step): a (1, 3)-blocked VMEM input is not lowerable — Mosaic
+    # requires sublane-dim blocks divisible by 8
+    wx = origin_ref[row, 0] + dx * fp.step[0]
+    wy = origin_ref[row, 1] + dy * fp.step[1]
+    wz = origin_ref[row, 2] + dz * fp.step[2]
 
     def c(i):
         return cams_ref[v, i]
@@ -777,7 +780,7 @@ def _kernel_body(valid_ref, *refs, spec, masked, planes, fused=None):
         slow_views = []
         for v in range(V):
             if fused is not None:
-                x, y = _tile_coords(origin_ref, cams_ref, v, spec, fused)
+                x, y = _tile_coords(origin_ref, i, cams_ref, v, spec, fused)
             else:
                 x = coords_ref[0, v, 0, :]
                 y = coords_ref[0, v, 1, :]
@@ -866,9 +869,8 @@ def _sample_tiles_group(
             pl.BlockSpec(
                 (1, V, 3), lambda i, _v: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (1, 3), lambda i, _v: (i, 0), memory_space=pltpu.VMEM
-            ),
+            # whole array in SMEM: read as scalars at row program_id(0)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cams resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # heatmaps resident
         ]

@@ -14,6 +14,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compile cache: long runs are relaunched (resume, eval-every
+# sweeps) and the remote-tunnel compiles are minutes-cold otherwise
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import jax
 import numpy as np
 
