@@ -116,8 +116,12 @@ class NetworkConfig:
     # (tile world origins + camera rig in, no per-sample coords tensor —
     # saves the XLA coords pass and its ~105MB/frame HBM round trip);
     # window flags from projected tile corners + interval-arithmetic
-    # distortion bounds, still exact everywhere via the cover fallback
-    PALLAS_FUSED_COORDS: bool = False
+    # distortion bounds, still exact everywhere via the cover fallback.
+    # ON by default since round 4: measured on v5e at the Panoptic
+    # profile (scripts/check_pallas_parity.py) 11.2 -> 7.9 ms/frame at
+    # K=10 forced with identical parity (0.0003mm fast / 0.0000mm exact
+    # vs quad)
+    PALLAS_FUSED_COORDS: bool = True
     # run the kernel in the Pallas interpreter (CPU tests only)
     PALLAS_INTERPRET: bool = False
     # whole-space (HDN) projection through the same kernel (vs ~7.2ms
