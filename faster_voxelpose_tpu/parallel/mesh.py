@@ -94,6 +94,79 @@ def make_dp_eval_step(cfg: Config, model, mesh: Mesh):
     return eval_step
 
 
+class PipelinedStream:
+    """Two-stage backbone->fusion software pipeline across two chips for
+    streaming inference (the pipeline-parallel analogue named in
+    SURVEY.md §2: the reference has no distributed execution at all;
+    its closest structure is the sequential backbone -> fusion call in
+    lib/models/faster_voxelpose.py:36-48).
+
+    Stage 0 (device d0) runs the per-view ResNet backbone on frame t;
+    stage 1 (device d1) runs projection + HDN + JLN on frame t-1's
+    heatmaps.  Both stages are dispatched asynchronously each `push`,
+    so on real hardware d0 and d1 execute concurrently and steady-state
+    throughput is max(stage) instead of sum(stage) — at the Panoptic
+    profile (backbone 5.8ms, fusion 7.9ms on v5e) that projects ~126
+    fps for the two-chip stream vs ~73 fps single-chip, at one frame
+    of added latency.  The inter-stage (V, H, W, J) heatmap tensor
+    rides ICI via an async device_put.
+
+    Results come back with a one-frame lag: push(frame_t) returns the
+    poses of frame t-1 (None for the first frame); flush() drains the
+    final in-flight frame.
+    """
+
+    def __init__(self, cfg: Config, model, backbone, variables,
+                 backbone_vars, cams, devices=None):
+        devs = list(devices) if devices is not None else jax.devices()[:2]
+        self.d0 = devs[0]
+        self.d1 = devs[1] if len(devs) > 1 else devs[0]
+
+        self._bv = jax.device_put(backbone_vars, self.d0)
+        self._vars = jax.device_put(variables, self.d1)
+        cams = np.asarray(cams)
+        if cams.ndim == 2:  # (V, 21) -> add batch dim
+            cams = cams[None]
+        self._cams = jax.device_put(cams, self.d1)
+
+        @jax.jit
+        def bb_step(bv, images):  # (V, ih, iw, 3) -> (V, H, W, J)
+            return backbone.apply(bv, images, train=False, mutable=False)
+
+        @jax.jit
+        def fuse_step(variables, hm, cams):
+            out = model.apply(
+                variables, hm[None], cams, train=False, mutable=False
+            )
+            return out.fused_poses[0], out.proposal_centers[0]
+
+        self._bb_step = bb_step
+        self._fuse_step = fuse_step
+        self._pending = None  # frame t-1's heatmaps, resident on d1
+
+    def _dispatch_fuse(self):
+        fused, centers = self._fuse_step(self._vars, self._pending, self._cams)
+        return np.asarray(fused), np.asarray(centers)
+
+    def push(self, images):
+        """Feed frame t's (V, ih, iw, 3) images; returns frame t-1's
+        (fused_poses, proposal_centers) or None on the first frame."""
+        images = jax.device_put(np.asarray(images, np.float32), self.d0)
+        hm = self._bb_step(self._bv, images)  # queues on d0 (async)
+        out = self._dispatch_fuse() if self._pending is not None else None
+        # d0 -> d1 transfer of frame t's heatmaps (async; ICI on TPU)
+        self._pending = jax.device_put(hm, self.d1)
+        return out
+
+    def flush(self):
+        """Drain the final in-flight frame."""
+        if self._pending is None:
+            return None
+        out = self._dispatch_fuse()
+        self._pending = None
+        return out
+
+
 def make_view_sharded_forward(cfg: Config, model, mesh: Mesh, axis: str = "data"):
     """Camera-view sharding for latency-critical streaming inference: the
     (B, V, ...) heatmap tensor is sharded along V; the per-view projection

@@ -126,3 +126,51 @@ def test_dp_train_step_matches_single_device(setup):
             np.asarray(leaf_s), np.asarray(flat_d[path]),
             rtol=2e-4, atol=2e-6, err_msg=str(path),
         )
+
+
+def test_pipelined_stream_matches_serial():
+    """Two-stage backbone->fusion pipeline (PipelinedStream) across two
+    devices: outputs must equal the serial single-device pipeline, with
+    the documented one-frame lag."""
+    from faster_voxelpose_tpu.models.resnet import build_backbone
+    from faster_voxelpose_tpu.parallel.mesh import PipelinedStream
+
+    cfg = build_our_config()
+    cfg.RESNET.NUM_LAYERS = 18  # smallest trunk: this is a plumbing test
+    model = build_model(cfg)
+    backbone = build_backbone(cfg)
+
+    V = cfg.DATASET.CAMERA_NUM
+    iw, ih = cfg.DATASET.IMAGE_SIZE
+    rng = np.random.RandomState(7)
+    frames = rng.rand(3, V, ih, iw, 3).astype(np.float32)
+    cams = _example_cameras(1, V)
+
+    key = jax.random.PRNGKey(0)
+    bv = backbone.init(key, np.zeros((1, ih, iw, 3), np.float32))
+    hm0 = backbone.apply(bv, frames[0], train=False, mutable=False)
+    variables = model.init(key, np.asarray(hm0)[None], cams, train=False)
+
+    # serial reference on the default device
+    serial = []
+    for t in range(frames.shape[0]):
+        hm = backbone.apply(bv, frames[t], train=False, mutable=False)
+        out = model.apply(
+            variables, hm[None], jnp.asarray(cams), train=False, mutable=False
+        )
+        serial.append(np.asarray(out.fused_poses[0]))
+
+    stream = PipelinedStream(
+        cfg, model, backbone, variables, bv, cams,
+        devices=jax.devices()[:2],
+    )
+    assert stream.push(frames[0]) is None  # nothing in flight yet
+    outs = [stream.push(frames[1]), stream.push(frames[2]), stream.flush()]
+    assert stream.flush() is None  # drained
+
+    for t, out in enumerate(outs):
+        fused, centers = out
+        np.testing.assert_allclose(
+            fused, serial[t], rtol=1e-5, atol=1e-5,
+            err_msg=f"frame {t} diverged through the pipeline",
+        )
