@@ -26,8 +26,9 @@ a tiny CPU config (tests/test_service.py).
 
 from __future__ import annotations
 
+import collections
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -65,6 +66,11 @@ class PoseService:
         self.model = build_model(cfg)
         self.backbone = build_backbone(cfg)
         rngk = jax.random.PRNGKey(0)
+        # random-init is a dry-run/testing mode, never a deployment:
+        # track it so serving surfaces can report it (a server answering
+        # with untrained weights must be distinguishable from a real one)
+        self.random_init = variables is None
+        self._has_backbone_weights = backbone_vars is not None
         if variables is None:
             variables = self.model.init(
                 rngk,
@@ -101,7 +107,11 @@ class PoseService:
         self._heatmaps_jit = jax.jit(_heatmaps_fn)
         self._images_jit = jax.jit(_images_fn)
         self._compiled: Dict[str, object] = {}
-        self._latencies_ms: List[float] = []
+        # bounded history: a long-lived server at streaming rates would
+        # otherwise grow this without limit; percentiles over the most
+        # recent window are what an operator wants anyway
+        self._latencies_ms = collections.deque(maxlen=10000)
+        self._total_requests = 0
         if aot:
             self.warmup()
 
@@ -116,16 +126,27 @@ class PoseService:
             jax.ShapeDtypeStruct((1, self._V, 21), np.float32),
         )
 
-    def warmup(self):
-        """AOT-compile both graphs for batch 1 (the streaming shape)."""
+    def warmup(self, graphs: Optional[Tuple[str, ...]] = None):
+        """AOT-compile the requested graphs for batch 1 (the streaming
+        shape).  Default: 'heatmaps' always; 'images' only when backbone
+        weights were provided — a precomputed-2D-pose server should not
+        pay the backbone graph's compile (the most expensive in the
+        process) for a path it never calls.  Pass
+        graphs=('heatmaps', 'images') to force both."""
         import jax
 
+        if graphs is None:
+            graphs = (
+                ("heatmaps", "images")
+                if self._has_backbone_weights
+                else ("heatmaps",)
+            )
         hm, cams = self._hm_spec()
-        if "heatmaps" not in self._compiled:
+        if "heatmaps" in graphs and "heatmaps" not in self._compiled:
             self._compiled["heatmaps"] = (
                 self._heatmaps_jit.lower(self.variables, hm, cams).compile()
             )
-        if "images" not in self._compiled:
+        if "images" in graphs and "images" not in self._compiled:
             img = jax.ShapeDtypeStruct(
                 (1, self._V, self._ih, self._iw, 3), np.float32
             )
@@ -194,7 +215,7 @@ class PoseService:
             fn(self.variables, heatmaps, rig)
         )
         ms = (time.perf_counter() - t0) * 1e3
-        self._latencies_ms.append(ms)
+        self._record(ms)
         out = self._decode(fused, centers)
         out["latency_ms"] = round(ms, 3)
         return out
@@ -211,7 +232,7 @@ class PoseService:
             fn(self.variables, self.backbone_vars, images, rig)
         )
         ms = (time.perf_counter() - t0) * 1e3
-        self._latencies_ms.append(ms)
+        self._record(ms)
         out = self._decode(fused, centers)
         out["latency_ms"] = round(ms, 3)
         return out
@@ -237,14 +258,20 @@ class PoseService:
 
     # -- observability ----------------------------------------------------
 
+    def _record(self, ms: float):
+        self._latencies_ms.append(ms)
+        self._total_requests += 1
+
     def stats(self) -> dict:
         lat = np.asarray(self._latencies_ms, np.float64)
         if lat.size == 0:
-            return {"requests": 0}
+            return {"requests": 0, "random_init": self.random_init}
         return {
-            "requests": int(lat.size),
+            "requests": self._total_requests,  # lifetime count
+            # percentiles over the most recent <=10k requests
             "mean_ms": round(float(lat.mean()), 3),
             "p50_ms": round(float(np.percentile(lat, 50)), 3),
             "p95_ms": round(float(np.percentile(lat, 95)), 3),
             "compiled": sorted(self._compiled),
+            "random_init": self.random_init,
         }

@@ -21,7 +21,7 @@ from ..config import Config
 logger = logging.getLogger(__name__)
 
 
-def make_eval_step(cfg: Config, model, backbone=None, donate: bool = True):
+def make_eval_step(cfg: Config, model, backbone=None):
     """One jitted eval step: heatmaps/images + cameras -> fused poses."""
 
     hm_w, hm_h = cfg.DATASET.HEATMAP_SIZE

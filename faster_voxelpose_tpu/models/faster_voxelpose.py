@@ -72,6 +72,14 @@ def resolve_sampling_spec(cfg: Config):
         fused_coords=bool(cfg.NETWORK.PALLAS_FUSED_COORDS)
         and not any(d & (d - 1) for d in tile),
     )
+    if spec.fused_coords and spec.nx == 1 and spec.ny == 1:
+        # sample_tiles_fused requires a multi-window spec; on
+        # single-window profiles (heatmaps within one (window_x,
+        # window_y) slab, e.g. tiny test geometries) there is no coords
+        # HBM traffic worth fusing — fall back to precomputed coords
+        import dataclasses
+
+        spec = dataclasses.replace(spec, fused_coords=False)
     # one joint group's packed heatmaps must be VMEM-resident per launch
     # (the bound is independent of J: extra joints become extra groups;
     # fast mode stores bf16, halving the footprint)

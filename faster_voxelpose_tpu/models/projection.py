@@ -463,10 +463,10 @@ def project_individual_planes_pallas(
         # no (K*nb, V, 2, S) coords tensor, no ~105MB/frame round trip
         from ..ops.pallas_sampling import FusedProj
 
-        tile_bases = jnp.asarray(
-            tile_offsets_np((vx, vy, vz), spec.tile)[:: spec.samples],
-            jnp.float32,
-        )  # (nb, 3) first-voxel index of each tile
+        # (nb, 3) first-voxel index of each tile — reuse the tile-blocked
+        # enumeration already built above instead of re-running the
+        # 262k-row meshgrid on the host per trace
+        tile_bases = offs[::s].astype(jnp.float32)
         blocks = jax.vmap(
             lambda tl: origin + (tl[None, :].astype(jnp.float32) + tile_bases)
             * fine_step

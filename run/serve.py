@@ -88,6 +88,14 @@ def build_service(args):
 
     svc = PoseService(cfg, variables=variables, backbone_vars=backbone_vars,
                       aot=not args.no_aot)
+    if svc.random_init:
+        # make dry-run mode unmissable: a server with untrained weights
+        # answers every request with garbage poses
+        print(
+            "WARNING: no --torch-weights/--best-from given — serving "
+            "RANDOM-INIT weights (dry-run mode, poses are meaningless)",
+            file=sys.stderr,
+        )
     svc.set_rig_from_calibration(args.calibration)
     return svc
 

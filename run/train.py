@@ -205,7 +205,9 @@ def main():
             global_step += 1
 
         eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
-        if (epoch + 1) % args.eval_every == 0 or epoch + 1 == cfg.TRAIN.END_EPOCH:
+        # eval_every <= 0 means "final epoch only" (and guards the % 0)
+        if (args.eval_every > 0 and (epoch + 1) % args.eval_every == 0) \
+                or epoch + 1 == cfg.TRAIN.END_EPOCH:
             metric, msg, _ = run_validation(
                 cfg, model, eval_vars, test_ds,
                 dataset_factory=(lambda: test_ds) if cfg.WORKERS > 0 else None,

@@ -61,7 +61,10 @@ def main():
         if a.startswith("--cfg="):
             cfg_path = a.split("=", 1)[1]
     if "--cfg" in sys.argv:
-        cfg_path = sys.argv[sys.argv.index("--cfg") + 1]
+        i = sys.argv.index("--cfg")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: --cfg <experiment.yaml> (value missing)")
+        cfg_path = sys.argv[i + 1]
     cfg = load_config(cfg_path)
     cfg.CAPTURE_SPEC.MIN_SCORE = -1.0  # all K slots valid: worst-case load
     cfg.NETWORK.COMPUTE_DTYPE = "float32"
@@ -143,6 +146,28 @@ def main():
             "pallas_fused_exact",
             dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=True,
                  PALLAS_TILE=(8, 8, 32), PALLAS_WINDOW=(40, 128),
+                 PALLAS_WHOLE=True, PALLAS_FUSED_COORDS=True),
+        ),
+        # fused-coords window sweep: in-kernel projection shifts the
+        # cost balance (no per-sample coords tensor, VPU projects per
+        # window sample), so the (40, 128) default swept for the
+        # non-fused kernel may no longer be optimal
+        (
+            "pallas_fused_w32128",
+            dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=False,
+                 PALLAS_TILE=(8, 8, 32), PALLAS_WINDOW=(32, 128),
+                 PALLAS_WHOLE=True, PALLAS_FUSED_COORDS=True),
+        ),
+        (
+            "pallas_fused_w48128",
+            dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=False,
+                 PALLAS_TILE=(8, 8, 32), PALLAS_WINDOW=(48, 128),
+                 PALLAS_WHOLE=True, PALLAS_FUSED_COORDS=True),
+        ),
+        (
+            "pallas_fused_w4096",
+            dict(SAMPLING_BACKEND="pallas", PALLAS_EXACT=False,
+                 PALLAS_TILE=(8, 8, 32), PALLAS_WINDOW=(40, 96),
                  PALLAS_WHOLE=True, PALLAS_FUSED_COORDS=True),
         ),
     ]

@@ -256,6 +256,27 @@ def test_resolve_sampling_spec_auto_cpu_is_quad():
     assert spec17 is not None and spec17.groups == 2
 
 
+def test_resolve_sampling_spec_single_window_clears_fused():
+    """PALLAS_FUSED_COORDS (default ON) must fall back to precomputed
+    coords on single-window profiles: sample_tiles_fused requires
+    nx*ny > 1 and would raise at apply time otherwise (the TINY 40x32
+    heatmaps fit entirely inside one (40, 128) window)."""
+    from tests.test_model_parity import build_our_config
+    from faster_voxelpose_tpu.models.faster_voxelpose import (
+        resolve_sampling_spec,
+    )
+
+    cfg = build_our_config()
+    cfg.NETWORK.SAMPLING_BACKEND = "pallas"
+    cfg.NETWORK.PALLAS_INTERPRET = True
+    cfg.NETWORK.PALLAS_TILE = (8, 8, 8)
+    assert cfg.NETWORK.PALLAS_FUSED_COORDS  # the round-4 default
+    spec = resolve_sampling_spec(cfg)
+    assert spec is not None
+    assert spec.nx == 1 and spec.ny == 1
+    assert not spec.fused_coords
+
+
 def test_resolve_sampling_spec_shelf_profile():
     """The real Shelf config (COCO-17, 200x152 heatmaps) resolves to a
     kernel spec since round 3 (the round-2 J<=16 + whole-heatmap-VMEM

@@ -41,7 +41,14 @@ def service(tmp_path_factory):
     return svc
 
 
-def test_aot_compiles_both_graphs(service):
+def test_aot_compiles_heatmaps_only_without_backbone_weights(service):
+    # no backbone weights were provided -> the expensive images graph is
+    # not AOT-compiled by default (a heatmaps-only server never calls it);
+    # infer_images still works via the lazy jit path, and warmup can
+    # force the images graph explicitly
+    assert sorted(service._compiled) == ["heatmaps"]
+    assert service.random_init and service.stats()["random_init"]
+    service.warmup(graphs=("heatmaps", "images"))
     assert sorted(service._compiled) == ["heatmaps", "images"]
 
 
