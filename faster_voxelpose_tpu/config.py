@@ -82,6 +82,11 @@ class NetworkConfig:
     # TPU-native additions (not in the reference): compute dtype for the
     # conv stacks.  Params are always f32; bf16 activations feed the MXU.
     COMPUTE_DTYPE: str = "bfloat16"
+    # fusion-trunk width multiplier (1.0 = reference topology).  The
+    # weight-deviating speed experiment knob: channels in the HDN/JLN
+    # U-Nets and heads scale by this, rounded to multiples of 8
+    # (models/blocks.py:scaled); requires retraining when != 1.0.
+    WIDTH_MULT: float = 1.0
     # bilinear-sampling backend for the projection stages:
     #   'quad'   — XLA row-gather via per-frame quad tables (exact, any
     #              shape; the gather engine bounds it at ~10ns/sample)

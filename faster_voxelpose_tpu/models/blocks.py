@@ -26,6 +26,16 @@ import jax.numpy as jnp
 conv_init = nn.initializers.normal(stddev=0.001)
 
 
+def scaled(channels: int, width: float) -> int:
+    """Channel count under a width multiplier, rounded to a multiple of 8
+    (VPU lane / MXU tile alignment), floor 8.  width=1.0 reproduces the
+    reference topology exactly; other values are the narrow/wide-trunk
+    speed-vs-quality experiment knob (NETWORK.WIDTH_MULT)."""
+    if width == 1.0:
+        return channels
+    return max(8, int(round(channels * width / 8)) * 8)
+
+
 class Deconv(nn.Module):
     """Transposed convolution with torch-compatible semantics.
 
@@ -185,25 +195,27 @@ class EncoderDecoder(nn.Module):
 
     rank: int = 2
     dtype: Any = jnp.float32
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        skip1 = ResBlock(32, self.rank, self.dtype, name="skip_res1")(x, train)
+        w = lambda c: scaled(c, self.width)
+        skip1 = ResBlock(w(32), self.rank, self.dtype, name="skip_res1")(x, train)
         x = _max_pool(x, self.rank)
-        x = ResBlock(64, self.rank, self.dtype, name="encoder_res1")(x, train)
+        x = ResBlock(w(64), self.rank, self.dtype, name="encoder_res1")(x, train)
 
-        skip2 = ResBlock(64, self.rank, self.dtype, name="skip_res2")(x, train)
+        skip2 = ResBlock(w(64), self.rank, self.dtype, name="skip_res2")(x, train)
         x = _max_pool(x, self.rank)
-        x = ResBlock(128, self.rank, self.dtype, name="encoder_res2")(x, train)
+        x = ResBlock(w(128), self.rank, self.dtype, name="encoder_res2")(x, train)
 
-        x = ResBlock(128, self.rank, self.dtype, name="mid_res")(x, train)
+        x = ResBlock(w(128), self.rank, self.dtype, name="mid_res")(x, train)
 
-        x = ResBlock(128, self.rank, self.dtype, name="decoder_res2")(x, train)
-        x = UpsampleBlock(64, self.rank, self.dtype, name="decoder_upsample2")(x, train)
+        x = ResBlock(w(128), self.rank, self.dtype, name="decoder_res2")(x, train)
+        x = UpsampleBlock(w(64), self.rank, self.dtype, name="decoder_upsample2")(x, train)
         x = x + skip2
 
-        x = ResBlock(64, self.rank, self.dtype, name="decoder_res1")(x, train)
-        x = UpsampleBlock(32, self.rank, self.dtype, name="decoder_upsample1")(x, train)
+        x = ResBlock(w(64), self.rank, self.dtype, name="decoder_res1")(x, train)
+        x = UpsampleBlock(w(32), self.rank, self.dtype, name="decoder_upsample1")(x, train)
         x = x + skip1
         return x
 
@@ -214,9 +226,12 @@ class UNetFront(nn.Module):
 
     rank: int = 2
     dtype: Any = jnp.float32
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNRelu(16, 7, self.rank, self.dtype, name="front_basic")(x, train)
-        x = ResBlock(32, self.rank, self.dtype, name="front_res")(x, train)
+        x = ConvBNRelu(scaled(16, self.width), 7, self.rank, self.dtype,
+                       name="front_basic")(x, train)
+        x = ResBlock(scaled(32, self.width), self.rank, self.dtype,
+                     name="front_res")(x, train)
         return x

@@ -13,7 +13,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .blocks import EncoderDecoder, UNetFront, conv_init
+from .blocks import EncoderDecoder, UNetFront, conv_init, scaled
 
 
 class P2PNet(nn.Module):
@@ -23,11 +23,12 @@ class P2PNet(nn.Module):
 
     output_channels: int
     dtype: Any = jnp.float32
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = UNetFront(2, self.dtype, name="front")(x, train)
-        x = EncoderDecoder(2, self.dtype, name="encdec")(x, train)
+        x = UNetFront(2, self.dtype, self.width, name="front")(x, train)
+        x = EncoderDecoder(2, self.dtype, self.width, name="encdec")(x, train)
         x = nn.Conv(self.output_channels, (1, 1), padding="VALID",
                     kernel_init=conv_init, dtype=self.dtype, name="output")(x)
         return x.astype(jnp.float32)
@@ -44,21 +45,23 @@ class CenterNet(nn.Module):
 
     head_conv: int = 32
     dtype: Any = jnp.float32
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, cube, train: bool = False):
         x = jnp.max(cube, axis=3)  # z max-projection -> (B, X, Y, J)
         x = x.astype(self.dtype)
-        x = UNetFront(2, self.dtype, name="front")(x, train)
-        x = EncoderDecoder(2, self.dtype, name="encdec")(x, train)
+        x = UNetFront(2, self.dtype, self.width, name="front")(x, train)
+        x = EncoderDecoder(2, self.dtype, self.width, name="encdec")(x, train)
 
-        hm = nn.Conv(self.head_conv, (3, 3), padding="SAME", kernel_init=conv_init,
+        head_ch = scaled(self.head_conv, self.width)
+        hm = nn.Conv(head_ch, (3, 3), padding="SAME", kernel_init=conv_init,
                      dtype=self.dtype, name="hm_conv")(x)
         hm = nn.relu(hm)
         hm = nn.Conv(1, (1, 1), padding="VALID", kernel_init=conv_init,
                      dtype=self.dtype, name="hm_out")(hm)
 
-        size = nn.Conv(self.head_conv, (3, 3), padding="SAME", kernel_init=conv_init,
+        size = nn.Conv(head_ch, (3, 3), padding="SAME", kernel_init=conv_init,
                        dtype=self.dtype, name="size_conv")(x)
         size = nn.relu(size)
         size = nn.Conv(2, (1, 1), padding="VALID", kernel_init=conv_init,
@@ -71,11 +74,12 @@ class C2CNet(nn.Module):
     (reference C2CNet, cnns_1d.py:112-143)."""
 
     dtype: Any = jnp.float32
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = UNetFront(1, self.dtype, name="front")(x, train)
-        x = EncoderDecoder(1, self.dtype, name="encdec")(x, train)
+        x = UNetFront(1, self.dtype, self.width, name="front")(x, train)
+        x = EncoderDecoder(1, self.dtype, self.width, name="encdec")(x, train)
         x = nn.Conv(1, (1,), padding="VALID", kernel_init=conv_init,
                     dtype=self.dtype, name="output")(x)
         return x[..., 0].astype(jnp.float32)

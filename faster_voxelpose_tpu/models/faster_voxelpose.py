@@ -202,6 +202,7 @@ class FasterVoxelPoseNet(nn.Module):
             min_score=cfg.CAPTURE_SPEC.MIN_SCORE,
             dtype=dtype,
             sampling_spec=self.whole_sampling_spec,
+            width=cfg.NETWORK.WIDTH_MULT,
             name="hdn",
         )(quads, cams, train, gt_roots, gt_bbox, num_person,
           hm_packed=hm_packed)
@@ -217,6 +218,7 @@ class FasterVoxelPoseNet(nn.Module):
             weight_hidden_channels=cfg.NETWORK.NUM_CHANNEL_JOINT_HIDDEN,
             dtype=dtype,
             sampling_spec=self.sampling_spec,
+            width=cfg.NETWORK.WIDTH_MULT,
             name="jln",
         )(quads, cams, hdn.proposal_centers, train, hm_packed=hm_packed)
 

@@ -75,6 +75,7 @@ class HumanDetectionNet(nn.Module):
     dtype: Any = jnp.float32
     # SampleKernelSpec (whole-space tiling) or None = quad path
     sampling_spec: Any = None
+    width: float = 1.0  # trunk width multiplier (NETWORK.WIDTH_MULT)
 
     @nn.compact
     def __call__(
@@ -99,7 +100,8 @@ class HumanDetectionNet(nn.Module):
         else:
             cubes = project_whole_batch(geom, quads, cams)  # (B, X, Y, Z, J)
 
-        hm, size = CenterNet(dtype=self.dtype, name="center_net")(cubes, train)
+        hm, size = CenterNet(dtype=self.dtype, width=self.width,
+                             name="center_net")(cubes, train)
         hm2d = hm[..., 0]  # (B, X, Y)
 
         # NMS + top-K on a detached copy (proposal selection carries no
@@ -114,7 +116,7 @@ class HumanDetectionNet(nn.Module):
         cube_flat = cubes.reshape(B, vx * vy, vz, -1)
         cols = jnp.take_along_axis(cube_flat, flat2d[:, :, None, None], axis=1)
 
-        hm1d = C2CNet(dtype=self.dtype, name="c2c_net")(
+        hm1d = C2CNet(dtype=self.dtype, width=self.width, name="c2c_net")(
             cols.reshape(B * K, vz, -1), train
         ).reshape(B, K, vz)
 

@@ -72,6 +72,7 @@ class JointLocalizationNet(nn.Module):
     # ops.pallas_sampling.SampleKernelSpec (hashable dataclass) enabling
     # the Pallas matmul-gather crop path; None = XLA quad-gather path
     sampling_spec: Any = None
+    width: float = 1.0  # trunk width multiplier (NETWORK.WIDTH_MULT)
 
     @nn.compact
     def __call__(
@@ -118,7 +119,8 @@ class JointLocalizationNet(nn.Module):
         planes = jnp.concatenate([plane_xy, plane_xz, plane_yz], axis=0)  # (3n,...)
 
         # shared plane-to-pose U-Net over all three planes at once
-        feats = P2PNet(J, dtype=self.dtype, name="p2p_net")(planes, train)  # (3n,X,Y,J)
+        feats = P2PNet(J, dtype=self.dtype, width=self.width,
+                       name="p2p_net")(planes, train)  # (3n,X,Y,J)
 
         # soft-argmax against each plane's world-coordinate grid
         feats_flat = feats.reshape(3, n, vx * vy, J).transpose(0, 1, 3, 2)

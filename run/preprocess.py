@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from multiprocessing import Pool
+from multiprocessing import get_context
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -76,7 +76,11 @@ def main():
                 paths.extend(rec.image_paths)
 
     print(f"{len(paths)} images to check")
-    with Pool(args.workers, initializer=_init, initargs=(transform, cfg.DATASET.IMAGE_SIZE)) as pool:
+    # spawn, not fork: dataset construction above may initialize JAX
+    # (device-render paths), and forking a multithreaded process can
+    # deadlock the children; workers only need cv2 + the affine anyway
+    ctx = get_context("spawn")
+    with ctx.Pool(args.workers, initializer=_init, initargs=(transform, cfg.DATASET.IMAGE_SIZE)) as pool:
         changed = sum(pool.map(_process, paths))
     print(f"resized {changed} images to {cfg.DATASET.IMAGE_SIZE}")
 

@@ -102,8 +102,10 @@ def main():
     train_step = jax.jit(make_train_step(cfg, model, backbone), donate_argnums=(0,))
 
     # multi-process sample rendering (reference run/train.py:68-73 uses
-    # cfg.WORKERS torch DataLoader workers); the fork-based pool shares the
-    # built dataset db copy-on-write, so the factory just returns it.
+    # cfg.WORKERS torch DataLoader workers); spawn workers rebuild the
+    # dataset from the picklable factory (no fork after JAX init).
+    from faster_voxelpose_tpu.engine.loader import DatasetFactory
+
     loader = DataLoader(
         train_ds,
         cfg.TRAIN.BATCH_SIZE,
@@ -111,7 +113,8 @@ def main():
         drop_last=True,
         num_workers=cfg.WORKERS,
         seed=cfg.TRAIN.SEED,
-        dataset_factory=(lambda: train_ds) if cfg.WORKERS > 0 else None,
+        dataset_factory=DatasetFactory(cfg.DATASET.TRAIN_DATASET, cfg, True)
+        if cfg.WORKERS > 0 else None,
     )
 
     meters = {k: AverageMeter() for k in ("total", "2d", "1d", "bbox", "joint", "time")}
@@ -210,11 +213,26 @@ def main():
                 or epoch + 1 == cfg.TRAIN.END_EPOCH:
             metric, msg, _ = run_validation(
                 cfg, model, eval_vars, test_ds,
-                dataset_factory=(lambda: test_ds) if cfg.WORKERS > 0 else None,
+                dataset_factory=DatasetFactory(cfg.DATASET.TEST_DATASET, cfg, False)
+                if cfg.WORKERS > 0 else None,
             )
             writer.add_scalar("eval_metric", metric, epoch)
             is_best = metric > best_metric
             best_metric = max(metric, best_metric)
+            if is_best:
+                # durable in-repo snapshot (the reference ships model_best
+                # .pth.tar in its model zoo, README.md:123-131): npz weights
+                # + an eval record so validate round-trips on a fresh box
+                from faster_voxelpose_tpu.engine.checkpoint import (
+                    write_repo_snapshot,
+                )
+
+                write_repo_snapshot(
+                    output_dir, eval_vars,
+                    {"config": os.path.abspath(args.cfg), "epoch": epoch + 1,
+                     "metric": float(metric), "message": msg,
+                     "seed": cfg.TRAIN.SEED},
+                )
         else:
             is_best = False
         save_checkpoint(output_dir, state, epoch + 1, best_metric, is_best, eval_vars)

@@ -58,6 +58,7 @@ def evaluate_model(
 
     from faster_voxelpose_tpu.datasets import get_dataset
     from faster_voxelpose_tpu.engine.checkpoint import load_best_model
+    from faster_voxelpose_tpu.engine.loader import DatasetFactory
     from faster_voxelpose_tpu.engine.validator import run_validation
     from faster_voxelpose_tpu.models.faster_voxelpose import build_model
     from faster_voxelpose_tpu.models.resnet import build_backbone
@@ -122,9 +123,10 @@ def evaluate_model(
         cfg, model, variables, test_ds,
         backbone=backbone, backbone_vars=backbone_vars,
         image_loader=image_loader,
-        # fork-pool render workers share the built dataset records
-        # copy-on-write (reference eval uses 8 loader workers too)
-        dataset_factory=(lambda: test_ds) if cfg.WORKERS > 0 else None,
+        # spawn-pool render workers rebuild the dataset from the picklable
+        # factory (reference eval uses 8 loader workers too)
+        dataset_factory=DatasetFactory(cfg.DATASET.TEST_DATASET, cfg, False)
+        if cfg.WORKERS > 0 else None,
     )
     return metric, msg, preds, test_ds
 
