@@ -347,4 +347,9 @@ def realistic_bench(TB: int) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    # pause any concurrently-running training for the duration of the
+    # measurement (train/eval loops poll this lock each step)
+    from faster_voxelpose_tpu.utils.bench_lock import hold_bench_lock
+
+    with hold_bench_lock():
+        main()

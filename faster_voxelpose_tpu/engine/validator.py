@@ -17,6 +17,7 @@ import jax
 import numpy as np
 
 from ..config import Config
+from ..utils.bench_lock import wait_if_bench_locked
 
 logger = logging.getLogger(__name__)
 
@@ -94,6 +95,8 @@ def run_validation(
     t0 = time.time()
     try:
         for bi, batch in enumerate(prefetch_to_device(iter(loader))):
+            # yield the chip to a concurrently-running bench.py
+            wait_if_bench_locked()
             # eval order is sequential and unshuffled: batch bi covers
             # records [bi*bs, min((bi+1)*bs, n)) (tail padded by loader)
             idxs = list(range(bi * bs, min((bi + 1) * bs, n)))

@@ -51,6 +51,7 @@ def main():
     from faster_voxelpose_tpu.engine.validator import run_validation
     from faster_voxelpose_tpu.models.faster_voxelpose import build_model
     from faster_voxelpose_tpu.models.resnet import build_backbone
+    from faster_voxelpose_tpu.utils.bench_lock import wait_if_bench_locked
     from faster_voxelpose_tpu.utils.logging_utils import ScalarWriter, create_logger
 
     cfg = load_config(args.cfg)
@@ -149,6 +150,9 @@ def main():
         logger.info("epoch %d", epoch)
         end = time.time()
         for i, batch in enumerate(prefetch_to_device(iter(loader))):
+            # yield the chip to a concurrently-running bench.py (driver
+            # captures the round benchmark on this same chip)
+            wait_if_bench_locked()
             batch.pop("_valid", None)
             batch.pop("offset", None)
             state, losses = train_step(state, batch, backbone_vars)
