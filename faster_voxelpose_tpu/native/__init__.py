@@ -4,4 +4,10 @@ Compiled lazily with the system toolchain into _cache/; the pure-Python
 paths remain as fallbacks so the framework works without a compiler.
 """
 
-from .build import load_render_lib, native_available  # noqa: F401
+from .build import (  # noqa: F401
+    load_render_lib,
+    load_warp_lib,
+    native_available,
+    normalize_u8_native,
+    warp_normalize_native,
+)
