@@ -89,6 +89,28 @@ def test_warp_zero_border(lib):
     np.testing.assert_allclose(ours, ref, atol=ATOL_WARP)
 
 
+def test_load_view_images_fallback_parity(lib, tmp_path, monkeypatch):
+    """load_view_images produces the same frames with and without the
+    native kernel (pure-Python fallback path, toolchain-free boxes)."""
+    from faster_voxelpose_tpu.datasets.images import load_view_images
+    from faster_voxelpose_tpu.geometry.transforms import get_resize_transform
+    from faster_voxelpose_tpu.native import build
+
+    rng = np.random.RandomState(7)
+    paths = []
+    for i, shape in enumerate([(64, 96, 3), (120, 180, 3)]):
+        p = str(tmp_path / f"view{i}.png")
+        assert cv2.imwrite(p, rng.randint(0, 256, shape, np.uint8))
+        paths.append(p)
+    t = get_resize_transform((180, 120), (96, 64))
+
+    native = load_view_images(paths, (96, 64), t, color_rgb=True)
+    monkeypatch.setattr(build, "load_warp_lib", lambda: None)
+    python = load_view_images(paths, (96, 64), t, color_rgb=True)
+    assert native.shape == python.shape == (2, 64, 96, 3)
+    np.testing.assert_allclose(native, python, atol=1e-5)
+
+
 def test_preprocess_view_native_dispatch(lib):
     """The images.py wrapper (cv2 SIMD warp on the BGR frame + native
     fused normalize/swap) matches the Python chain near-exactly: the
