@@ -106,16 +106,17 @@ class PoseDatasetBase:
             else:
                 sample["input_heatmaps"] = self._heatmaps_from_gt(rec)
         elif self.heatmap_src == "image":
-            # decode + warp + normalize per-view images on the host (in
-            # pool workers when the loader runs multi-process); the
-            # backbone consumes them on device (reference function.py:39-46)
-            from .images import load_view_images
+            # decode + warp per-view images on the host (in pool workers
+            # when the loader runs multi-process); frames ship as uint8
+            # (4x smaller) and the train/eval step normalizes on device
+            # before the backbone consumes them (reference
+            # function.py:39-46 normalizes in torch loader workers)
+            from .images import load_view_images_u8
 
-            sample["images"] = load_view_images(
+            sample["images"] = load_view_images_u8(
                 rec.image_paths,
                 self.image_size,
                 self.resize_transform,
-                self.cfg.DATASET.COLOR_RGB,
             )
 
         if rec.joints_3d is not None:

@@ -65,6 +65,55 @@ def load_view_images(
     return np.stack(views, axis=0)
 
 
+def load_view_images_u8(
+    paths: List[str],
+    image_size,
+    resize_transform: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Decode + (maybe) warp only: (V, H, W, 3) uint8, BGR as decoded.
+
+    The transfer-optimal variant of load_view_images for consumers whose
+    device graph normalizes on-chip (normalize_images_device): the host
+    ships 4x fewer bytes (uint8 vs float32) and skips the normalize pass
+    entirely -- XLA fuses the u8->f32 convert + channel swap + affine
+    into the backbone stem's input.
+    """
+    import cv2
+
+    W, H = int(image_size[0]), int(image_size[1])
+    views = []
+    for p in paths:
+        img = cv2.imread(p, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        if img is None:
+            raise FileNotFoundError(p)
+        if img.shape[1] != W or img.shape[0] != H:
+            if resize_transform is None:
+                raise ValueError(
+                    f"image {p} is {img.shape[1]}x{img.shape[0]}, expected "
+                    f"{W}x{H}; pass resize_transform for on-the-fly warping"
+                )
+            img = cv2.warpAffine(
+                img, resize_transform.astype(np.float32), (W, H),
+                flags=cv2.INTER_LINEAR,
+            )
+        views.append(np.ascontiguousarray(img))
+    return np.stack(views, axis=0)
+
+
+def normalize_images_device(images, color_rgb: bool = True):
+    """On-device analogue of the host normalize: uint8 (..., 3) BGR (as
+    decoded) -> ImageNet-normalized float32, channels reversed to RGB
+    when color_rgb.  Pure jnp elementwise math -- XLA fuses it into the
+    consuming backbone stem, so device-side normalization is free and
+    the host->device payload stays uint8."""
+    import jax.numpy as jnp
+
+    if color_rgb:
+        images = images[..., ::-1]
+    x = images.astype(jnp.float32) * (1.0 / 255.0)
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
 def preprocess_view_native(
     img: np.ndarray,  # decoded uint8 HWC (BGR as from cv2.imread)
     image_size,  # (W, H)

@@ -96,6 +96,16 @@ class PoseService:
             return out.fused_poses, out.proposal_centers
 
         def _images_fn(variables, backbone_vars, images, cams):
+            if images.dtype == np.uint8:
+                # uint8 transfer mode (infer_image_paths): normalize +
+                # RGB swap on device, fused into the backbone stem
+                from faster_voxelpose_tpu.datasets.images import (
+                    normalize_images_device,
+                )
+
+                images = normalize_images_device(
+                    images, cfg.DATASET.COLOR_RGB
+                )
             B, Vv = images.shape[:2]
             flat = images.reshape((B * Vv,) + images.shape[2:])
             hm = backbone.apply(backbone_vars, flat, train=False,
@@ -128,16 +138,20 @@ class PoseService:
 
     def warmup(self, graphs: Optional[Tuple[str, ...]] = None):
         """AOT-compile the requested graphs for batch 1 (the streaming
-        shape).  Default: 'heatmaps' always; 'images' only when backbone
-        weights were provided — a precomputed-2D-pose server should not
-        pay the backbone graph's compile (the most expensive in the
-        process) for a path it never calls.  Pass
-        graphs=('heatmaps', 'images') to force both."""
+        shape).  Default: 'heatmaps' always; 'images_u8' (the uint8
+        on-device-normalize graph infer_image_paths uses) only when
+        backbone weights were provided — a precomputed-2D-pose server
+        should not pay the backbone graph's compile (the most expensive
+        in the process) for a path it never calls.  Pass any of
+        'heatmaps' / 'images' (pre-normalized float32) / 'images_u8'
+        explicitly to force those graphs."""
         import jax
 
         if graphs is None:
+            # 'images_u8' is the uint8-transfer graph infer_image_paths
+            # dispatches to -- the streaming server's actual image path
             graphs = (
-                ("heatmaps", "images")
+                ("heatmaps", "images_u8")
                 if self._has_backbone_weights
                 else ("heatmaps",)
             )
@@ -146,13 +160,14 @@ class PoseService:
             self._compiled["heatmaps"] = (
                 self._heatmaps_jit.lower(self.variables, hm, cams).compile()
             )
-        if "images" in graphs and "images" not in self._compiled:
-            img = jax.ShapeDtypeStruct(
-                (1, self._V, self._ih, self._iw, 3), np.float32
-            )
-            self._compiled["images"] = self._images_jit.lower(
-                self.variables, self.backbone_vars, img, cams
-            ).compile()
+        for name, dtype in (("images", np.float32), ("images_u8", np.uint8)):
+            if name in graphs and name not in self._compiled:
+                img = jax.ShapeDtypeStruct(
+                    (1, self._V, self._ih, self._iw, 3), dtype
+                )
+                self._compiled[name] = self._images_jit.lower(
+                    self.variables, self.backbone_vars, img, cams
+                ).compile()
         return sorted(self._compiled)
 
     # -- rig management --------------------------------------------------
@@ -221,13 +236,20 @@ class PoseService:
         return out
 
     def infer_images(self, images: np.ndarray) -> dict:
-        """(V, ih, iw, 3) or (1, V, ih, iw, 3) float32 images -> poses."""
+        """(V, ih, iw, 3) or (1, V, ih, iw, 3) images -> poses.
+
+        float32 inputs are taken as already ImageNet-normalized (RGB if
+        cfg COLOR_RGB); uint8 inputs are decoded BGR frames and the
+        normalize+swap runs on device (the transfer-optimal path)."""
         rig = self._require_rig()
-        images = np.asarray(images, np.float32)
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
         if images.ndim == 4:
             images = images[None]
+        key = "images_u8" if images.dtype == np.uint8 else "images"
         t0 = time.perf_counter()
-        fn = self._compiled.get("images", self._images_jit)
+        fn = self._compiled.get(key, self._images_jit)
         fused, centers = self._jax.block_until_ready(
             fn(self.variables, self.backbone_vars, images, rig)
         )
@@ -239,8 +261,10 @@ class PoseService:
 
     def infer_image_paths(self, paths: Sequence[str]) -> dict:
         """Load one image per view from disk (resize-warped to the
-        network input frame) and run the full pipeline."""
-        from faster_voxelpose_tpu.datasets.images import load_view_images
+        network input frame) and run the full pipeline.  Frames ship to
+        the device as uint8 and normalize on-chip (4x smaller uploads,
+        zero host normalize cost)."""
+        from faster_voxelpose_tpu.datasets.images import load_view_images_u8
         from faster_voxelpose_tpu.geometry.transforms import (
             get_resize_transform,
         )
@@ -250,9 +274,8 @@ class PoseService:
         rt = get_resize_transform(
             self.cfg.DATASET.ORI_IMAGE_SIZE, self.cfg.DATASET.IMAGE_SIZE
         )
-        images = load_view_images(
-            list(paths), self.cfg.DATASET.IMAGE_SIZE, rt,
-            self.cfg.DATASET.COLOR_RGB,
+        images = load_view_images_u8(
+            list(paths), self.cfg.DATASET.IMAGE_SIZE, rt
         )
         return self.infer_images(images)
 

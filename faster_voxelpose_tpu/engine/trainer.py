@@ -106,6 +106,15 @@ def make_train_step(cfg: Config, model, backbone=None):
             heatmaps = render_heatmaps_device(batch["hm_params"], hm_h, hm_w)
         if heatmaps is None:
             images = batch["images"]  # (B, V, H, W, 3)
+            if images.dtype == jnp.uint8:
+                # uint8 transfer mode: the loader ships decoded/warped
+                # frames and the normalize+RGB swap runs here, fused by
+                # XLA into the backbone stem (4x smaller uploads)
+                from ..datasets.images import normalize_images_device
+
+                images = normalize_images_device(
+                    images, cfg.DATASET.COLOR_RGB
+                )
             B, V = images.shape[:2]
             flat = images.reshape((B * V,) + images.shape[2:])
             hm = backbone.apply(

@@ -14,6 +14,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -45,6 +46,12 @@ def make_eval_step(cfg: Config, model, backbone=None):
 
     @jax.jit
     def eval_step_images(variables, backbone_vars, images, cameras):
+        if images.dtype == jnp.uint8:
+            # uint8 transfer mode: normalize + RGB swap on device, fused
+            # by XLA into the backbone stem (4x smaller uploads)
+            from ..datasets.images import normalize_images_device
+
+            images = normalize_images_device(images, cfg.DATASET.COLOR_RGB)
         B, V = images.shape[:2]
         flat = images.reshape((B * V,) + images.shape[2:])
         hm = backbone.apply(backbone_vars, flat, train=False, mutable=False)

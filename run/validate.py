@@ -96,7 +96,7 @@ def evaluate_model(
     backbone = backbone_vars = None
     image_loader = None
     if cfg.DATASET.TEST_HEATMAP_SRC == "image":
-        from faster_voxelpose_tpu.datasets.images import load_view_images
+        from faster_voxelpose_tpu.datasets.images import load_view_images_u8
         from faster_voxelpose_tpu.utils.weights_torch import (
             convert_backbone,
             load_torch_state_dict,
@@ -106,14 +106,14 @@ def evaluate_model(
         sd = load_torch_state_dict(cfg.NETWORK.PRETRAINED_BACKBONE)
         backbone_vars = convert_backbone(sd, cfg.RESNET.NUM_LAYERS)
 
+        # ship uint8 frames; the eval step normalizes on device
         def image_loader(idxs):
             return np.stack(
                 [
-                    load_view_images(
+                    load_view_images_u8(
                         test_ds.records[i].image_paths,
                         cfg.DATASET.IMAGE_SIZE,
                         test_ds.resize_transform,
-                        cfg.DATASET.COLOR_RGB,
                     )
                     for i in idxs
                 ]

@@ -68,13 +68,24 @@ def main():
     metric, msg, _ = run_validation(cfg, model, reloaded, test_ds)
     logger.info("npz round-trip eval:\n%s", msg)
 
-    # best epoch from the resumable checkpoint, if present
+    # best epoch: the epoch of the LAST "saved best model" event across
+    # the run's train logs (int, like the in-training snapshot records —
+    # tests/test_model_zoo.py enforces the schema)
     epoch = None
     try:
-        ckpt_log = sorted(
+        import re
+
+        for lf in sorted(
             f for f in os.listdir(output_dir) if f.endswith("_train.log")
-        )
-        epoch = None if not ckpt_log else "see " + ckpt_log[-1]
+        ):
+            cur = None
+            with open(os.path.join(output_dir, lf), errors="ignore") as f:
+                for line in f:
+                    m = re.search(r"\bepoch (\d+)$", line.strip())
+                    if m:
+                        cur = int(m.group(1))
+                    if "saved best model" in line and cur is not None:
+                        epoch = cur
     except OSError:
         pass
     record = {

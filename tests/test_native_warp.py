@@ -89,6 +89,50 @@ def test_warp_zero_border(lib):
     np.testing.assert_allclose(ours, ref, atol=ATOL_WARP)
 
 
+def test_normalize_images_device_parity():
+    """On-device uint8 normalize (normalize_images_device) matches the
+    host chain (BGR->RGB swap + normalize_image) to float rounding."""
+    from faster_voxelpose_tpu.datasets.images import normalize_images_device
+
+    rng = np.random.RandomState(11)
+    u8 = rng.randint(0, 256, (2, 3, 16, 24, 3), np.uint8)  # (B,V,H,W,3) BGR
+    dev = np.asarray(normalize_images_device(u8, color_rgb=True))
+    host = np.stack(
+        [
+            np.stack([normalize_image(v[..., ::-1]) for v in b])
+            for b in u8
+        ]
+    )
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+    # no-swap mode
+    dev = np.asarray(normalize_images_device(u8[0], color_rgb=False))
+    host = np.stack([normalize_image(v) for v in u8[0]])
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_load_view_images_u8_raw(lib, tmp_path):
+    """The uint8 loader returns the decoded/warped BGR frame untouched."""
+    from faster_voxelpose_tpu.datasets.images import load_view_images_u8
+    from faster_voxelpose_tpu.geometry.transforms import get_resize_transform
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (64, 96, 3), np.uint8)
+    p = str(tmp_path / "v.png")
+    assert cv2.imwrite(p, img)
+    out = load_view_images_u8([p], (96, 64))
+    assert out.dtype == np.uint8 and out.shape == (1, 64, 96, 3)
+    np.testing.assert_array_equal(out[0], img)  # PNG is lossless
+
+    raw = rng.randint(0, 256, (120, 180, 3), np.uint8)
+    p2 = str(tmp_path / "raw.png")
+    assert cv2.imwrite(p2, raw)
+    t = get_resize_transform((180, 120), (96, 64))
+    out = load_view_images_u8([p2], (96, 64), t)
+    ref = cv2.warpAffine(raw, t.astype(np.float32), (96, 64),
+                         flags=cv2.INTER_LINEAR)
+    np.testing.assert_array_equal(out[0], ref)
+
+
 def test_load_view_images_fallback_parity(lib, tmp_path, monkeypatch):
     """load_view_images produces the same frames with and without the
     native kernel (pure-Python fallback path, toolchain-free boxes)."""

@@ -165,9 +165,9 @@ def test_image_source_sample_has_images(image_train_setup):
     W, H = cfg.DATASET.IMAGE_SIZE
     assert "input_heatmaps" not in sample
     assert sample["images"].shape == (cfg.DATASET.CAMERA_NUM, H, W, 3)
-    assert np.isfinite(sample["images"]).all()
-    # ImageNet normalization: roughly centered
-    assert abs(float(sample["images"].mean())) < 2.0
+    # frames ship uint8 (4x smaller); the train/eval step normalizes
+    # on device (datasets/images.py:normalize_images_device)
+    assert sample["images"].dtype == np.uint8
 
 
 def test_image_source_train_step(image_train_setup):

@@ -71,6 +71,26 @@ def test_infer_images_runs_backbone(service):
     assert out["n_people"] == len(out["poses_mm"])
 
 
+def test_infer_images_uint8_device_normalize(service):
+    """uint8 frames (the transfer-optimal mode infer_image_paths uses)
+    produce the same poses as host-normalized float32 frames."""
+    from faster_voxelpose_tpu.datasets.images import normalize_image
+
+    rng = np.random.RandomState(4)
+    u8 = rng.randint(0, 256, (3, 128, 160, 3), np.uint8)  # BGR, as decoded
+    # the tiny config leaves COLOR_RGB at its default False -> no swap
+    assert not service.cfg.DATASET.COLOR_RGB
+    f32 = np.stack([normalize_image(v) for v in u8])
+
+    out_u8 = service.infer_images(u8)
+    out_f32 = service.infer_images(f32)
+    assert out_u8["n_people"] == out_f32["n_people"]
+    if out_u8["n_people"]:
+        np.testing.assert_allclose(
+            out_u8["poses_mm"], out_f32["poses_mm"], atol=5.0
+        )
+
+
 def test_rig_hot_swap_no_recompile(service, tmp_path):
     """Swapping calibration must not add compiled executables and must
     change the projection (different rig -> different detections on a
